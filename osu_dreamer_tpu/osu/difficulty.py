@@ -1,0 +1,128 @@
+"""First-party osu!standard star-rating calculator.
+
+The reference delegates star rating to the rosu-pp Rust crate
+(reference osu/beatmap.py:11,67-75); this module is a first-party
+implementation of the classic osu!std two-skill (aim / speed) strain model:
+
+- per-object strain increments weighted by circle-size-normalized spacing,
+- exponential strain decay (aim 0.15 / speed 0.3 per second),
+- 400 ms strain sections, difficulty = geometrically-weighted sum of section
+  peaks (0.9 ratio), stars = sqrt(difficulty) * 0.0675 per skill,
+- total stars = aim + speed + 0.5 * |aim - speed|.
+
+Star rating is only consumed as a difficulty *label* for model conditioning
+(label[0] of 5), so an accurate classic-model estimate is sufficient; a C++
+implementation with identical semantics is available in
+``native/difficulty.cpp`` and used automatically when built (star rating runs
+once per map at dataset-build time).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import numpy as np
+
+if TYPE_CHECKING:
+    from .beatmap import Beatmap
+
+# strain model constants (legacy osu!std difficulty calculator)
+_DECAY_BASE = (0.3, 0.15)  # (speed, aim) strain decay per second
+_WEIGHT_SCALING = (1400.0, 26.25)  # (speed, aim) skill balance
+_STAR_SCALE = 0.0675
+_EXTREME_SCALE = 0.5
+_SECTION_MS = 400.0
+_DECAY_WEIGHT = 0.9
+_NORMALIZED_RADIUS = 52.0
+_MIN_DELTA_MS = 50.0
+
+_SINGLE_SPACING = 125.0
+_STREAM_SPACING = 110.0
+_ALMOST_DIAMETER = 90.0
+
+SPEED, AIM = 0, 1
+
+
+def _circle_radius(cs: float) -> float:
+    """hit-circle radius in osu!pixels for a given circle size"""
+    return 32.0 * (1.0 - 0.7 * (cs - 5.0) / 5.0)
+
+
+def _speed_spacing_weight(distance: float) -> float:
+    """spacing multiplier for the speed skill (piecewise in normalized px)"""
+    if distance > _SINGLE_SPACING:
+        return 2.5
+    if distance > _STREAM_SPACING:
+        return 1.6 + 0.9 * (distance - _STREAM_SPACING) / (_SINGLE_SPACING - _STREAM_SPACING)
+    if distance > _ALMOST_DIAMETER:
+        return 1.2 + 0.4 * (distance - _ALMOST_DIAMETER) / (_STREAM_SPACING - _ALMOST_DIAMETER)
+    if distance > _ALMOST_DIAMETER / 2.0:
+        return 0.95 + 0.25 * (distance - _ALMOST_DIAMETER / 2.0) / (_ALMOST_DIAMETER / 2.0)
+    return 0.95
+
+
+def _aim_spacing_weight(distance: float) -> float:
+    return distance**0.99
+
+
+def _skill_difficulty(times: np.ndarray, strains: np.ndarray, decay: float) -> float:
+    """difficulty of one skill: sectioned strain peaks, geometric sum"""
+    if len(times) == 0:
+        return 0.0
+
+    peaks: list[float] = []
+    section_end = _SECTION_MS * np.ceil(max(times[0], 1.0) / _SECTION_MS)
+    current = 0.0
+    running = 0.0  # strain carried between objects
+
+    for i in range(len(times)):
+        t = times[i]
+        while t > section_end:
+            peaks.append(current)
+            # strain at the start of the next section: decayed from last object
+            current = running * decay ** ((section_end - times[max(i - 1, 0)]) / 1000.0)
+            section_end += _SECTION_MS
+        running = strains[i]
+        current = max(current, running)
+    peaks.append(current)
+
+    peaks_arr = np.sort(np.asarray(peaks))[::-1]
+    weights = _DECAY_WEIGHT ** np.arange(len(peaks_arr))
+    return float(np.dot(peaks_arr, weights))
+
+
+def star_rating(bm: "Beatmap") -> float:
+    """classic two-skill star rating for a parsed beatmap"""
+    objs = bm.hit_objects
+    if len(objs) < 2:
+        return 0.0
+
+    radius = _circle_radius(bm.cs)
+    scale = _NORMALIZED_RADIUS / radius
+    if radius < 30.0:
+        scale *= 1.0 + min(30.0 - radius, 5.0) / 50.0
+
+    times = np.array([float(o.t) for o in objs])
+    pos = np.stack([o.start_pos() for o in objs]) * scale
+
+    deltas = np.maximum(np.diff(times), _MIN_DELTA_MS)
+    dists = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+
+    stars_per_skill = []
+    for skill in (SPEED, AIM):
+        weight_fn = _speed_spacing_weight if skill == SPEED else _aim_spacing_weight
+        decay_base = _DECAY_BASE[skill]
+        scaling = _WEIGHT_SCALING[skill]
+
+        strains = np.empty(len(objs))
+        strains[0] = 0.0
+        for i in range(1, len(objs)):
+            increment = weight_fn(float(dists[i - 1])) * scaling / float(deltas[i - 1])
+            decay = decay_base ** (float(deltas[i - 1]) / 1000.0)
+            strains[i] = strains[i - 1] * decay + increment
+
+        diff = _skill_difficulty(times[1:], strains[1:], decay_base)
+        stars_per_skill.append(np.sqrt(diff) * _STAR_SCALE)
+
+    speed_stars, aim_stars = stars_per_skill
+    return float(aim_stars + speed_stars + abs(aim_stars - speed_stars) * _EXTREME_SCALE)

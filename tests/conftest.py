@@ -1,0 +1,72 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+This is the TPU-world "fake backend" for testing distributed code without a
+pod (SURVEY.md §4): sharding/pjit semantics are identical on virtual CPU
+devices, so mesh tests here validate the multi-chip path.
+"""
+
+import os
+
+# must be set before jax is imported anywhere
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+SAMPLE_OSU = """osu file format v14
+
+[General]
+AudioFilename: audio.mp3
+AudioLeadIn: 0
+Mode: 0
+
+[Editor]
+BeatDivisor: 4
+
+[Metadata]
+Title: Test Song
+TitleUnicode: Test Song
+Artist: Test Artist
+ArtistUnicode: Test Artist
+Creator: tester
+Version: Insane
+
+[Difficulty]
+HPDrainRate: 6
+CircleSize: 4
+OverallDifficulty: 8
+ApproachRate: 9
+SliderMultiplier: 1.8
+SliderTickRate: 1
+
+[Events]
+//Background and Video events
+2,20000,24000
+
+[TimingPoints]
+1000,500,4,2,0,60,1,0
+9000,-50,4,2,0,60,0,0
+
+[HitObjects]
+64,64,1000,5,0,0:0:0:0:
+128,96,1500,1,2,0:0:0:0:
+192,128,2000,1,8,0:0:0:0:
+256,192,2500,12,0,3500,0:0:0:0:
+100,100,4000,2,0,L|300:100,1,180
+100,200,6000,2,4,P|200:250|300:200,2,200
+100,300,9000,6,0,B|200:350|200:350|300:300|400:330,1,250
+"""
+
+
+@pytest.fixture
+def sample_osu_text():
+    return SAMPLE_OSU
