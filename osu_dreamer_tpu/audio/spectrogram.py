@@ -1,0 +1,155 @@
+r"""Resonator-bank spectrogram featurizer, TPU-native.
+
+The reference computes a constant-Q-like spectrogram with a bank of 72 complex
+one-pole resonators applied sample-by-sample at 16384 Hz (the ``resonators``
+Rust crate, reference data/load_audio.py:39-49). A sequential IIR over ~2M
+samples is the worst possible shape for a TPU, so this module restates it
+exactly as two hardware-friendly stages:
+
+Resonator recurrence (one pole per bin, constant-Q bandwidth):
+
+    y[n] = alpha * x[n] + (1 - alpha) * e^{i*omega} * y[n-1]
+
+Split the signal into frames of ``HOP_LEN`` samples. Unrolling the recurrence
+across one frame gives, with ``b = (1-alpha) * e^{i*omega}``:
+
+    y[(k+1)H - 1] = b^H * y[kH - 1]  +  sum_j alpha * b^{H-1-j} * x[kH + j]
+                    \________________/   \_______________________________/
+                      per-frame decay          frame "contribution"
+
+* the contribution term is a dense (n_frames x H) @ (H x 2*n_bins) **matmul**
+  against a precomputed complex weight table - that's >99% of the FLOPs and it
+  runs on the MXU;
+* the surviving cross-frame recurrence is a first-order linear scan over
+  n_frames elements (~170/s of audio) with a per-bin 2x2 rotation-scaling -
+  evaluated with ``lax.associative_scan`` in O(log n_frames) depth.
+
+The result is bit-identical (up to fp32 rounding) to the sequential IIR - see
+``resonate_reference`` and tests/test_spectrogram.py - while running at
+matmul speed. Post-processing (power, log, top-60dB normalization to [0,1])
+matches reference load_audio.py:44-49.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import HOP_LEN, N_BINS, SR, resonator_freqs
+
+# constant-Q quality factor: each bin's bandwidth spans one bin spacing
+# (9 bins/octave, symmetric): Q = 1 / (2^(1/18) - 2^(-1/18)) ~= 12.98
+Q_FACTOR = 1.0 / (2.0 ** (1.0 / 18.0) - 2.0 ** (-1.0 / 18.0))
+# chunk granularity for padding wave lengths (limits jit recompiles)
+WAVE_BUCKET = HOP_LEN * 1024  # ~6.1 s
+
+
+def resonator_alphas(freqs: np.ndarray) -> np.ndarray:
+    """per-frequency smoothing heuristic: one-pole bandwidth tracks the
+    constant-Q bin bandwidth, so each bin integrates ~Q cycles"""
+    return 1.0 - np.exp(-2.0 * np.pi * freqs / (Q_FACTOR * SR))
+
+
+@lru_cache(maxsize=1)
+def _bank_tables() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """precomputed (W, A, alpha) for the matmul+scan formulation.
+
+    W: (H, 2F) real weight table, columns [re | im] of alpha * b^(H-1-j)
+    A: (F, 2, 2) per-bin cross-frame rotation-scaling b^H as a 2x2 real matrix
+    """
+    freqs = resonator_freqs().astype(np.float64)
+    alpha = resonator_alphas(freqs)
+    omega = 2.0 * np.pi * freqs / SR
+    b = (1.0 - alpha) * np.exp(1j * omega)  # (F,)
+
+    j = np.arange(HOP_LEN)
+    w = alpha[None, :] * b[None, :] ** (HOP_LEN - 1 - j)[:, None]  # (H, F) complex
+    W = np.concatenate([w.real, w.imag], axis=1).astype(np.float32)  # (H, 2F)
+
+    bH = b**HOP_LEN
+    A = np.stack(
+        [
+            np.stack([bH.real, -bH.imag], axis=-1),
+            np.stack([bH.imag, bH.real], axis=-1),
+        ],
+        axis=-2,
+    ).astype(np.float32)  # (F, 2, 2)
+
+    return W, A, alpha.astype(np.float32)
+
+
+def _scan_combine(left, right):
+    """combine for the first-order recurrence y_k = A_k y_{k-1} + c_k over
+    elements (A, c): (A2 A1, A2 c1 + c2)"""
+    a1, c1 = left
+    a2, c2 = right
+    return a2 @ a1, jnp.einsum("kfij,kfj->kfi", a2, c1) + c2
+
+
+@partial(jax.jit, static_argnames=("n_frames",))
+def _resonate_frames(wave: jax.Array, n_frames: int) -> jax.Array:
+    """complex resonator states at frame boundaries -> (n_frames, F, 2) [re, im]"""
+    W, A, _ = _bank_tables()
+    W = jnp.asarray(W)
+    A = jnp.asarray(A)
+
+    frames = wave[: n_frames * HOP_LEN].reshape(n_frames, HOP_LEN)
+    contrib = frames @ W  # (K, 2F) -- the MXU stage
+    contrib = jnp.stack(
+        [contrib[:, :N_BINS], contrib[:, N_BINS:]], axis=-1
+    )  # (K, F, 2)
+
+    A_all = jnp.broadcast_to(A, (n_frames, *A.shape))
+    _, states = jax.lax.associative_scan(_scan_combine, (A_all, contrib), axis=0)
+    return states  # (K, F, 2)
+
+
+def _normalize_power(power: jax.Array) -> jax.Array:
+    """log-power normalized so the loudest frame maps to 1 and anything 60 dB
+    below it maps to 0 (reference load_audio.py:44-49)"""
+    sig = jnp.maximum(power, 1e-10)
+    sig = jnp.log10(sig) - jnp.log10(jnp.max(sig))
+    sig = (15.0 * sig + 60.0) / 60.0
+    return jnp.clip(sig, 0.0, 1.0)
+
+
+def make_spec_jax(wave: jax.Array, n_frames: int) -> jax.Array:
+    """jit-friendly spectrogram: (N,) float wave -> (F, n_frames) in [0, 1]"""
+    states = _resonate_frames(wave, n_frames)
+    power = states[..., 0] ** 2 + states[..., 1] ** 2  # (K, F)
+    return _normalize_power(power).T  # (F, K)
+
+
+def make_spec(wave: np.ndarray) -> np.ndarray:
+    """host entry point: pads the wave to a bucketed length (so repeated calls
+    hit a handful of compiled shapes), featurizes on the accelerator, crops"""
+    n = len(wave)
+    n_frames = max(1, int(np.ceil(n / HOP_LEN)))
+    padded_len = int(np.ceil(max(n, 1) / WAVE_BUCKET)) * WAVE_BUCKET
+    buf = np.zeros(padded_len, dtype=np.float32)
+    buf[:n] = wave
+    spec = make_spec_jax(jnp.asarray(buf), padded_len // HOP_LEN)
+    return np.asarray(spec[:, :n_frames])
+
+
+def resonate_reference(wave: np.ndarray, hop: int = HOP_LEN) -> np.ndarray:
+    """exact sequential-IIR evaluation of the same resonator bank (host,
+    O(N*F)); ground truth for validating the matmul+scan formulation"""
+    freqs = resonator_freqs().astype(np.float64)
+    alpha = resonator_alphas(freqs)
+    b = (1.0 - alpha) * np.exp(1j * 2.0 * np.pi * freqs / SR)
+
+    n_frames = int(np.ceil(len(wave) / hop))
+    padded = np.zeros(n_frames * hop)
+    padded[: len(wave)] = wave
+
+    out = np.empty((n_frames, len(freqs)), dtype=np.complex128)
+    y = np.zeros(len(freqs), dtype=np.complex128)
+    for k in range(n_frames):
+        for j in range(hop):
+            y = alpha * padded[k * hop + j] + b * y
+        out[k] = y
+    return out

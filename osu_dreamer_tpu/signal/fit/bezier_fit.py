@@ -1,0 +1,95 @@
+"""Bezier least-squares fitting on the Bernstein basis.
+
+Parity with reference data/beatmap/slider/fit_bezier.py: single-segment
+constrained least squares with optional endpoint pinning (:20-59) and greedy
+worst-segment splitting for poly-bezier fits of increasing segment count
+(:62-104). Points are (L, 2); fitted data points are assumed evenly spaced in
+curve parameter.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+from scipy.special import comb
+
+from osu_dreamer_tpu.osu.paths import BezierPath
+
+
+def bernstein_basis(t: np.ndarray, n_ctrl: int) -> np.ndarray:
+    """(L, n_ctrl) matrix of Bernstein polynomials of degree n_ctrl-1 at t"""
+    d = n_ctrl - 1
+    i = np.arange(n_ctrl)
+    return comb(d, i) * t[:, None] ** i * (1.0 - t[:, None]) ** (d - i)
+
+
+def fit_segment(
+    points: np.ndarray,
+    n_ctrl: int,
+    pin_start: bool = False,
+    pin_end: bool = False,
+) -> tuple[BezierPath, float]:
+    """least-squares bezier through `points` (L, 2); pinned endpoints are
+    clamped to the data endpoints (keeps adjacent poly-segments joined).
+    returns (curve, sum of squared residuals)"""
+    L = points.shape[0]
+    t = np.linspace(0.0, 1.0, L)
+    T = bernstein_basis(t, n_ctrl)
+
+    ctrl = np.zeros((n_ctrl, 2))
+    free = np.ones(n_ctrl, dtype=bool)
+    if pin_start:
+        free[0] = False
+        ctrl[0] = points[0]
+    if pin_end:
+        free[-1] = False
+        ctrl[-1] = points[-1]
+
+    # move pinned columns to the right-hand side, solve for the free ones
+    rhs = points - T[:, ~free] @ ctrl[~free]
+    sol, *_ = np.linalg.lstsq(T[:, free], rhs, rcond=None)
+    ctrl[free] = sol
+
+    resid = T @ ctrl - points
+    return BezierPath(ctrl), float((resid**2).sum())
+
+
+def fit_poly(
+    points: np.ndarray,
+    n_ctrl: int,
+    max_segments: int,
+) -> Iterator[tuple[list[BezierPath], float]]:
+    """yields joined multi-segment fits with 2..max_segments segments, grown
+    by splitting the worst-fitting span at its largest-residual point. every
+    segment has (up to) `n_ctrl` control points; n_ctrl=2 gives a poly-line."""
+    L = points.shape[0]
+
+    def fit_span(lo: int, hi: int) -> tuple[BezierPath, float, int]:
+        span = points[lo : hi + 1]
+        curve, sse = fit_segment(
+            span,
+            min(n_ctrl, span.shape[0]),
+            pin_start=lo != 0,
+            pin_end=hi != L - 1,
+        )
+        per_point = ((curve.at(np.linspace(0, 1, span.shape[0])) - span) ** 2).sum(axis=1)
+        return curve, sse, lo + int(per_point.argmax())
+
+    spans: list[tuple[int, int]] = [(0, L - 1)]
+    fits = [fit_span(0, L - 1)]
+
+    for _ in range(max_segments - 1):
+        splittable = [k for k, (lo, hi) in enumerate(spans) if hi - lo >= 2]
+        if not splittable:
+            return
+        k = max(splittable, key=lambda k: fits[k][1])
+        lo, hi = spans[k]
+        cut = fits[k][2]
+        if not lo < cut < hi:
+            cut = (lo + hi) // 2
+
+        spans[k : k + 1] = [(lo, cut), (cut, hi)]
+        fits[k : k + 1] = [fit_span(lo, cut), fit_span(cut, hi)]
+
+        yield [f[0] for f in fits], float(sum(f[1] for f in fits))

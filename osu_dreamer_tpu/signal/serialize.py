@@ -1,0 +1,144 @@
+""".osu serializer: decoded hits + cursor path -> a playable beatmap file.
+
+Parity with reference data/beatmap/decode.py: hit circles / spinners /
+MAP-fitted sliders, breaks inserted for > 5 s gaps (:86-87), a single global
+uninherited timing point with ``beat_len = 100 / sqrt(min_vel * max_vel)``
+(:127-128), and one inherited timing point (``-100/SV``) per slider with the
+SV in [.1, 10] warning (:134-139). Real timing-point (tempo) inference is an
+acknowledged gap in the reference too (TODO at decode.py:131).
+"""
+
+from __future__ import annotations
+
+import warnings
+from dataclasses import dataclass
+
+import numpy as np
+
+from osu_dreamer_tpu.audio import get_frame_times
+
+from .encoding import NUM_LABELS, Channel, HitChannels
+from .fit import fit_slider
+from .hits import decode_hit_signal
+
+BREAK_GAP_MS = 5000
+PLAYFIELD = np.array([[512.0], [384.0]])
+
+
+@dataclass
+class MapMetadata:
+    audio_filename: str
+    title: str
+    artist: str
+    version: str = "osu!dreamer-tpu model"
+
+
+def _hit_sound_bits(whistle: bool, finish: bool, clap: bool) -> int:
+    return (whistle << 1) | (finish << 2) | (clap << 3)
+
+
+def decode_beatmap(meta: MapMetadata, labels: np.ndarray, enc: np.ndarray) -> str:
+    """(X_DIM, L) predicted signal + labels -> .osu file contents"""
+    assert labels.shape[-1] == NUM_LABELS
+    frame_ms = get_frame_times(enc.shape[1]).round().astype(int)
+    cursor = enc[[Channel.X, Channel.Y]] * PLAYFIELD
+
+    hit_lines: list[str] = []
+    break_lines: list[str] = []
+    slider_times: list[int] = []
+    slider_vels: list[float] = []
+    prev_end: int | None = None
+
+    for hit in decode_hit_signal(enc[HitChannels]):
+        onset_frame, new_combo, whistle, finish, clap, *hold = hit
+        t = int(frame_ms[onset_frame])
+        combo_bit = 1 << 2 if new_combo else 0
+        sound = _hit_sound_bits(whistle, finish, clap)
+
+        if prev_end is not None and t - prev_end > BREAK_GAP_MS:
+            break_lines.append(f"2,{prev_end},{t}")
+
+        def emit_circle():
+            x, y = cursor[:, onset_frame].round().astype(int)
+            hit_lines.append(f"{x},{y},{t},{(1 << 0) + combo_bit},{sound},0:0:0:0:")
+
+        if not hold:
+            emit_circle()
+            prev_end = t
+            continue
+
+        end_frame, num_slides = hold
+        end_t = int(frame_ms[end_frame])
+
+        if num_slides == 0:  # spinner
+            hit_lines.append(f"256,192,{t},{(1 << 3) + combo_bit},{sound},{end_t}")
+            prev_end = end_t
+            continue
+
+        curve_type, length, ctrl_pts = fit_slider(cursor, onset_frame, end_frame, num_slides)
+        if length == 0:
+            emit_circle()
+            prev_end = t
+            continue
+
+        head = ctrl_pts[0]
+        path = "|".join(f"{x}:{y}" for x, y in ctrl_pts[1:])
+        hit_lines.append(
+            f"{head[0]},{head[1]},{t},{(1 << 1) + combo_bit},{sound},"
+            f"{curve_type}|{path},{num_slides},{length}"
+        )
+        prev_end = end_t
+        slider_times.append(t)
+        slider_vels.append(length * num_slides / (end_t - t))
+
+    # one global tempo chosen so slider SVs cluster around 1:
+    # slide time = length / (slider_mult * 100 * SV) * beat_len with
+    # slider_mult = 1 => SV = vel * beat_len / 100; pick beat_len so the
+    # geometric mid of observed velocities maps to SV = 1
+    if slider_vels:
+        base_vel = float(np.sqrt(min(slider_vels) * max(slider_vels)))
+    else:
+        base_vel = 1.0
+    beat_len = 100.0 / base_vel
+
+    timing_lines = [f"0,{beat_len},4,0,0,50,1,0"]
+    for t, vel in zip(slider_times, slider_vels):
+        sv = vel / base_vel
+        if not 0.1 <= sv <= 10.0:
+            warnings.warn(f"slider SV {sv:.3f} outside [0.1, 10]; slider may render wrong")
+        timing_lines.append(f"{t},{-100.0 / sv},4,0,0,50,0,0")
+
+    sections = f"""osu file format v14
+
+[General]
+AudioFilename: {meta.audio_filename}
+AudioLeadIn: 0
+Mode: 0
+
+[Metadata]
+Title: {meta.title}
+TitleUnicode: {meta.title}
+Artist: {meta.artist}
+ArtistUnicode: {meta.artist}
+Creator: osu!dreamer-tpu
+Version: {meta.version}
+Tags: osu_dreamer_tpu
+
+[Difficulty]
+HPDrainRate: {labels[4]}
+CircleSize: {labels[3]}
+OverallDifficulty: {labels[2]}
+ApproachRate: {labels[1]}
+SliderMultiplier: 1
+SliderTickRate: 1
+
+[Events]
+{chr(10).join(break_lines)}
+
+[TimingPoints]
+{chr(10).join(timing_lines)}
+
+[HitObjects]
+{chr(10).join(hit_lines)}
+"""
+    return sections

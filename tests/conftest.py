@@ -1,17 +1,17 @@
-"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+"""Test configuration: run JAX on CPU.
 
-This is the TPU-world "fake backend" for testing distributed code without a
-pod (SURVEY.md §4): sharding/pjit semantics are identical on virtual CPU
-devices, so mesh tests here validate the multi-chip path.
+Multi-device (mesh/sharding) tests run in a *subprocess* with
+``--xla_force_host_platform_device_count=8`` (see tests/test_parallel.py) —
+the TPU-world "fake backend" for testing distributed code without a pod
+(SURVEY.md §4). The flag is not set here because it slows every XLA:CPU
+compile ~10x, which would tax the whole suite.
 """
 
 import os
 
-# must be set before jax is imported anywhere
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# must be set before jax is imported anywhere; unconditional — the ambient
+# environment may point JAX at a (slow, tunneled) accelerator
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import pytest

@@ -1,0 +1,213 @@
+"""Signal codec: hit/cursor encode + decode, disk format, full round-trip."""
+
+import io
+
+import numpy as np
+import pytest
+
+from osu_dreamer_tpu.audio import get_frame_times
+from osu_dreamer_tpu.osu import Beatmap, Circle, Slider, Spinner
+from osu_dreamer_tpu.signal import (
+    Channel,
+    HitChannels,
+    MapMetadata,
+    X_DIM,
+    cursor_signal,
+    decode_beatmap,
+    decode_hit_signal,
+    get_labels,
+    hit_signal,
+    read_beatmap,
+    write_beatmap,
+)
+from osu_dreamer_tpu.signal.hits import (
+    decode_events,
+    decode_extents,
+    events_signal,
+    extents_signal,
+)
+from osu_dreamer_tpu.signal.timing import timing_signal
+
+
+@pytest.fixture
+def bm(sample_osu_text):
+    return Beatmap(sample_osu_text)
+
+
+@pytest.fixture
+def frame_times(bm):
+    end = max(o.end_time() for o in bm.hit_objects) + 1000
+    from osu_dreamer_tpu.audio import get_frame_for_time
+
+    return get_frame_times(get_frame_for_time(end))
+
+
+class TestEvents:
+    def test_bump_peaks_at_event(self):
+        ft = get_frame_times(400)
+        sig = events_signal([600.0], ft)
+        peak = np.argmax(sig)
+        assert abs(ft[peak] - 600.0) < 6.0
+        assert sig[peak] > 0.9
+
+    def test_windowing_matches_dense_computation(self):
+        ft = get_frame_times(600)
+        ts = [100.0, 115.0, 2000.0, 3500.0]
+        sig = events_signal(ts, ft)
+        dense = np.exp(
+            -0.5 / 100.0 * (np.asarray(ts)[None] - ft[:, None]) ** 2
+        ).max(axis=1)
+        # identical wherever the dense value survives uint8 quantization
+        mask = dense > 1.0 / 510
+        np.testing.assert_allclose(sig[mask], dense[mask], atol=1e-12)
+
+    def test_decode_events_roundtrip(self):
+        ft = get_frame_times(500)
+        ts = [250.0, 800.0, 1400.0, 2500.0]
+        found = decode_events(events_signal(ts, ft))
+        assert len(found) == len(ts)
+        for t, fi in zip(ts, found):
+            assert abs(ft[fi] - t) < 6.0
+
+    def test_empty(self):
+        ft = get_frame_times(100)
+        assert events_signal([], ft).sum() == 0.0
+
+
+class TestExtents:
+    def test_mask_and_roundtrip(self):
+        ft = get_frame_times(500)
+        regions = [(100.0, 400.0), (1000.0, 1800.0)]
+        sig = extents_signal(regions, ft)
+        assert set(np.unique(sig)) <= {0.0, 1.0}
+        starts, ends = decode_extents(sig)
+        assert len(starts) == 2
+        for (s, e), (s_exp, e_exp) in zip(zip(starts, ends), regions):
+            assert abs(ft[s] - s_exp) < 12.0
+            assert abs(ft[e] - e_exp) < 12.0
+
+    def test_signal_starting_high(self):
+        sig = np.array([1.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0])
+        starts, ends = decode_extents(sig)
+        # leading high region has no rising edge; only the second is paired
+        assert starts == [3] and ends == [5]
+
+    def test_unterminated_extent_dropped(self):
+        sig = np.array([0.0, 1.0, 1.0, 1.0])
+        starts, ends = decode_extents(sig)
+        assert starts == [] and ends == []
+
+
+class TestHitSignal:
+    def test_shape_and_channels(self, bm, frame_times):
+        sig = hit_signal(bm, frame_times)
+        assert sig.shape == (7, len(frame_times))
+        assert sig.min() >= 0 and sig.max() <= 1
+
+    def test_decode_recovers_objects(self, bm, frame_times):
+        sig = hit_signal(bm, frame_times)
+        hits = decode_hit_signal(sig)
+        assert len(hits) == len(bm.hit_objects)
+
+        for hit, obj in zip(hits, bm.hit_objects):
+            onset_frame = hit[0]
+            assert abs(frame_times[onset_frame] - obj.t) < 6.0
+            assert hit[1] == obj.new_combo
+            assert hit[2] == obj.whistle
+            assert hit[3] == obj.finish
+            assert hit[4] == obj.clap
+            if isinstance(obj, Spinner):
+                assert len(hit) == 7 and hit[6] == 0
+            elif isinstance(obj, Slider):
+                assert len(hit) == 7 and hit[6] == obj.slides
+            else:
+                assert len(hit) == 5
+
+
+class TestCursorSignal:
+    def test_shape_and_range(self, bm, frame_times):
+        sig = cursor_signal(bm, frame_times)
+        assert sig.shape == (2, len(frame_times))
+        assert sig.min() >= -0.01 and sig.max() <= 1.01
+
+    def test_rest_position_after_map(self, bm, frame_times):
+        sig = cursor_signal(bm, frame_times)
+        last_obj = bm.hit_objects[-1]
+        end_xy = last_obj.end_pos() / np.array([512.0, 384.0])
+        np.testing.assert_allclose(sig[:, -1], end_xy, atol=1e-6)
+
+    def test_spinner_pinned_to_center(self, bm, frame_times):
+        spinner = next(o for o in bm.hit_objects if isinstance(o, Spinner))
+        mid_t = (spinner.t + spinner.end_time()) / 2
+        fi = int(np.searchsorted(frame_times, mid_t))
+        sig = cursor_signal(bm, frame_times)
+        np.testing.assert_allclose(sig[:, fi], [0.5, 0.5], atol=1e-6)
+
+    def test_slider_follow_reflects(self):
+        # 2-slide slider: cursor must return to the start
+        text = (
+            "[Difficulty]\nApproachRate: 9\nSliderMultiplier: 1\n\n"
+            "[TimingPoints]\n0,1000,4,2,0,60,1,0\n\n"
+            "[HitObjects]\n100,100,1000,2,0,L|300:100,2,200\n"
+        )
+        bm = Beatmap(text)
+        slider = bm.hit_objects[0]
+        ft = get_frame_times(1200)
+        sig = cursor_signal(bm, ft) * np.array([[512.0], [384.0]])
+        mid_fi = int(np.searchsorted(ft, slider.t + slider.slide_duration))
+        end_fi = int(np.searchsorted(ft, slider.end_time())) - 1
+        np.testing.assert_allclose(sig[:, mid_fi], [300, 100], atol=8)
+        np.testing.assert_allclose(sig[:, end_fi], [100, 100], atol=8)
+
+
+class TestTimingSignal:
+    def test_phases(self, bm, frame_times):
+        sig = timing_signal(bm, frame_times)
+        assert sig.shape == (2, len(frame_times))
+        assert (sig >= 0).all() and (sig < 1).all()
+
+
+class TestDiskFormat:
+    def test_roundtrip(self, bm, frame_times):
+        buf = io.BytesIO()
+        write_beatmap(buf, bm, frame_times)
+        buf.seek(0)
+        enc, labels = read_beatmap(buf)
+        assert enc.shape == (X_DIM, len(frame_times))
+        np.testing.assert_allclose(labels, get_labels(bm))
+
+        direct = np.concatenate([hit_signal(bm, frame_times), cursor_signal(bm, frame_times)])
+        assert np.abs(enc[:7] - direct[:7]).max() < 1.0 / 255
+        assert np.abs(enc[7:] - direct[7:]).max() < 1e-3
+
+
+class TestFullRoundTrip:
+    def test_encode_decode_reparse(self, bm, frame_times):
+        """beatmap -> signals -> .osu text -> reparse: object count, kinds,
+        times, and hit sounds survive the round trip"""
+        enc = np.concatenate([hit_signal(bm, frame_times), cursor_signal(bm, frame_times)])
+        text = decode_beatmap(
+            MapMetadata("a.mp3", "T", "A"), get_labels(bm), enc
+        )
+        rec = Beatmap(text)
+
+        assert len(rec.hit_objects) == len(bm.hit_objects)
+        for orig, back in zip(bm.hit_objects, rec.hit_objects):
+            assert abs(orig.t - back.t) < 12
+            assert orig.whistle == back.whistle
+            assert orig.finish == back.finish
+            assert orig.clap == back.clap
+            if isinstance(orig, Spinner):
+                assert isinstance(back, Spinner)
+                assert abs(orig.end_time() - back.end_time()) < 12
+            elif isinstance(orig, Slider):
+                assert isinstance(back, Slider)
+                assert back.slides == orig.slides
+                assert abs(orig.end_time() - back.end_time()) < 30
+                # recovered path endpoints near the original's
+                np.testing.assert_allclose(
+                    back.start_pos(), orig.start_pos(), atol=12
+                )
+            else:
+                assert isinstance(back, Circle)
+                np.testing.assert_allclose(back.start_pos(), orig.start_pos(), atol=6)
