@@ -1,0 +1,81 @@
+"""Inference artifact: flatten three training checkpoints into one file.
+
+Capability parity with reference models/inference/artifact.py: the latent
+model's live weights plus the EMA weights of the denoiser and style models,
+with the hyperparameters needed to rebuild the composed LDM — one portable
+file (msgpack: hparams JSON + flax param pytree) instead of a torch pickle.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+from flax import serialization
+
+from osu_dreamer_tpu.utils import dataclass_from_dict
+
+from .model import LDM, LDMArgs
+
+ARTIFACT_VERSION = 1
+
+
+def build_artifact_bytes(hparams: LDMArgs, ldm_params: Any) -> bytes:
+    payload = {
+        "version": ARTIFACT_VERSION,
+        "hparams": json.dumps(dataclasses.asdict(hparams)),
+        "params": serialization.msgpack_serialize(
+            serialization.to_state_dict(ldm_params)
+        ),
+    }
+    return serialization.msgpack_serialize(payload)
+
+
+def save_inference(
+    latent_ckpt_path: str | Path,
+    denoiser_ckpt_path: str | Path,
+    style_ckpt_path: str | Path,
+    output_path: str | Path,
+) -> None:
+    """merge three training checkpoints (latent live weights, denoiser EMA,
+    style EMA) into a single inference artifact"""
+    from osu_dreamer_tpu.train.checkpoint import load_train_checkpoint
+
+    latent = load_train_checkpoint(latent_ckpt_path)
+    denoiser = load_train_checkpoint(denoiser_ckpt_path)
+    style = load_train_checkpoint(style_ckpt_path)
+
+    hparams = LDMArgs(
+        latent=dataclass_from_dict(
+            type(LDMArgs().latent), latent.hparams["model"]
+        ),
+        diffusion=dataclass_from_dict(
+            type(LDMArgs().diffusion), denoiser.hparams["model"]
+        ),
+        style=dataclass_from_dict(type(LDMArgs().style), style.hparams["model"]),
+    )
+
+    ldm_params = {
+        "params": {
+            "latent": latent.params["params"],
+            "diffusion": (denoiser.ema_params or denoiser.params)["params"],
+            "style": (style.ema_params or style.params)["params"],
+        }
+    }
+
+    with open(output_path, "wb") as f:
+        f.write(build_artifact_bytes(hparams, ldm_params))
+
+
+def load_inference(model_path: str | Path) -> tuple[LDM, Any]:
+    """-> (LDM module, parameter pytree)"""
+    with open(model_path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    if payload.get("version") != ARTIFACT_VERSION:
+        raise ValueError(f"unsupported artifact version {payload.get('version')}")
+
+    hparams = dataclass_from_dict(LDMArgs, json.loads(payload["hparams"]))
+    params = serialization.msgpack_restore(payload["params"])
+    return LDM(hparams), params

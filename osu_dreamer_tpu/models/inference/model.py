@@ -1,0 +1,55 @@
+"""Composed three-stage inference pipeline.
+
+Capability parity with reference models/inference/model.py (LDM.sample):
+encode audio once -> sample style from labels -> sample latents by sphere
+tracing -> decode chart + labels with the audio skips, cropped to the
+original length. The whole chain after the host-side spectrogram is a single
+jitted device program; batching over difficulty vectors broadcasts the
+audio encoding (#B semantics).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from osu_dreamer_tpu.models.diffusion import DiffusionModel, DiffusionModelArgs
+from osu_dreamer_tpu.models.latent import LatentModel, LatentModelArgs
+from osu_dreamer_tpu.models.style import StyleModel, StyleModelArgs
+
+
+@dataclass
+class LDMArgs:
+    latent: LatentModelArgs = field(default_factory=LatentModelArgs)
+    style: StyleModelArgs = field(default_factory=StyleModelArgs)
+    diffusion: DiffusionModelArgs = field(default_factory=DiffusionModelArgs)
+
+
+class LDM(nn.Module):
+    args: LDMArgs
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.latent = LatentModel(self.args.latent, self.dtype, name="latent")
+        self.style = StyleModel(self.args.style, self.dtype, name="style")
+        self.diffusion = DiffusionModel(self.args.diffusion, self.dtype, name="diffusion")
+
+    def __call__(
+        self,
+        spec: jnp.ndarray,      # (1, Lpad, A_DIM) — audio, already chunk-padded
+        labels: jnp.ndarray,    # (B, NUM_LABELS)
+        rng: jax.Array,
+        num_steps: int,
+        style_steps: int = 16,
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """-> ((B, Lpad, X_DIM) chart signal, (B, NUM_LABELS) predicted labels)"""
+        rng_style, rng_z = jax.random.split(rng)
+
+        skips, h = self.latent.encode_audio(spec)
+        s = self.style.sample(labels, rng_style, style_steps)
+        z = self.diffusion.sample(h, s, rng_z, num_steps)
+        chart, out_labels = self.latent.decode(z, s, skips=skips)
+        return chart, out_labels

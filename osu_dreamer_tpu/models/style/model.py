@@ -1,0 +1,141 @@
+"""Stage-3 style prior: 5 difficulty labels -> 32-dim style code.
+
+Capability parity with reference models/style/model.py: the same (u, v)
+distance-field scheme as the latent denoiser, on style vectors. Label
+conditioning embeds each of the 5 labels with random Fourier features and a
+per-label learned projection; negative labels (dropped / unspecified) use a
+learned null row (:42-47, CFG-style null training — no guidance scale is
+applied at sampling, matching the reference). Sampling is the same
+self-calibrating sphere tracing, as one ``lax.scan``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import sqrt
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from osu_dreamer_tpu.nn import fourier_features, rms_norm, zeros_init
+from osu_dreamer_tpu.signal import NUM_LABELS
+
+_T99 = 0.9110007125548362
+_U_BIAS_INIT = -0.4328
+
+
+@dataclass
+class StyleModelArgs:
+    style_dim: int = 32
+    label_features: int = 128
+    h_dim: int = 256
+    depth: int = 8
+    expand: int = 4
+    dropout: float = 0.0
+
+    @property
+    def d0_sq(self) -> float:
+        """style codes are RMS-normalized (||s||^2 = S) so E[d^2] = 2S"""
+        return 2.0 * self.style_dim
+
+    @property
+    def c0(self) -> float:
+        return (1.0 - _T99) ** 2 * self.d0_sq
+
+    @property
+    def u_scale(self) -> float:
+        return sqrt(self.d0_sq)
+
+
+class StyleModel(nn.Module):
+    args: StyleModelArgs
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        a = self.args
+        self.label_proj_w = self.param(
+            "label_proj_w",
+            nn.initializers.xavier_uniform(),
+            (NUM_LABELS, a.label_features, a.h_dim),
+            jnp.float32,
+        )
+        self.label_proj_b = self.param(
+            "label_proj_b", zeros_init, (NUM_LABELS, a.h_dim), jnp.float32
+        )
+        self.null_labels = self.param(
+            "null_labels",
+            lambda key: jax.random.normal(key, (NUM_LABELS, a.h_dim)) * a.h_dim**-0.5,
+        )
+
+        self.proj_in = nn.Dense(a.h_dim, dtype=self.dtype, name="proj_in")
+        self.films = [
+            nn.Dense(3 * a.h_dim, kernel_init=zeros_init, bias_init=zeros_init,
+                     dtype=self.dtype, name=f"film{i}")
+            for i in range(a.depth)
+        ]
+        self.blocks = [
+            nn.Sequential(
+                [
+                    nn.Dense(a.expand * a.h_dim, dtype=self.dtype),
+                    nn.silu,
+                    nn.Dense(a.h_dim, dtype=self.dtype),
+                ],
+                name=f"block{i}",
+            )
+            for i in range(a.depth)
+        ]
+        self.out_gamma = self.param("out_gamma", nn.initializers.ones, (a.h_dim,), jnp.float32)
+        self.proj_out = nn.Dense(
+            a.style_dim, kernel_init=zeros_init, bias_init=zeros_init,
+            dtype=self.dtype, name="proj_out",
+        )
+        self.u_out = nn.Dense(
+            1,
+            kernel_init=zeros_init,
+            bias_init=nn.initializers.constant(_U_BIAS_INIT),
+            dtype=self.dtype,
+            name="u_out",
+        )
+
+    def embed_labels(self, labels: jnp.ndarray) -> jnp.ndarray:
+        """(B, 5) in [0,10] (or < 0 for "unspecified") -> (B, h_dim)"""
+        x = labels[:, :, None]  # (B, N, 1)
+        rff = fourier_features(x / 10.0, self.args.label_features, n_bins=32)
+        h = jnp.einsum("bnf,nfh->bnh", rff, self.label_proj_w) + self.label_proj_b
+        h = jnp.where(x < 0, self.null_labels[None], h)
+        return h.sum(axis=1)
+
+    def __call__(
+        self, st: jnp.ndarray, labels: jnp.ndarray
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """noised style + labels -> (u (B,), v (B, S))"""
+        c = self.embed_labels(labels).astype(self.dtype)
+        x = self.proj_in(st.astype(self.dtype))
+        for film, block in zip(self.films, self.blocks):
+            scale, shift, gate = jnp.split(film(c), 3, axis=-1)
+            h = rms_norm(x) * (1 + scale) + shift
+            h = block(h)
+            x = x + rms_norm(h) * gate
+        v = self.proj_out(rms_norm(x, self.out_gamma))
+        u = self.args.u_scale * nn.softplus(
+            self.u_out(rms_norm(x)).astype(jnp.float32)
+        )[:, 0]
+        return u, v
+
+    def sample(
+        self, labels: jnp.ndarray, rng: jax.Array, num_steps: int = 16
+    ) -> jnp.ndarray:
+        """self-calibrating sphere tracing, one lax.scan (reference :102-119)"""
+        s0 = jax.random.normal(rng, (labels.shape[0], self.args.style_dim), jnp.float32)
+
+        sqrt_c0 = sqrt(self.args.c0)
+        u0 = self(s0, labels)[0].mean()
+        eta = 1.0 - (sqrt_c0 / jnp.maximum(u0, sqrt_c0 + 1e-6)) ** (1.0 / num_steps)
+
+        def step(s, _):
+            u, v = self(s, labels)
+            return s - eta * u[:, None] * v.astype(jnp.float32), None
+
+        s, _ = jax.lax.scan(step, s0, None, length=num_steps)
+        return s

@@ -1,0 +1,55 @@
+"""RoPE self-attention.
+
+Parity with reference common/attn.py:62-83 (SDPSA): fused qkv projection,
+fp32 RMS-normalized q/k per head, rotary position embedding, scaled
+dot-product attention, output projection. The rotary table is computed inside
+the traced function (cheap, fused by XLA) instead of a device-keyed Python
+cache; attention itself lowers to the XLA TPU flash-attention path via
+``jax.nn.dot_product_attention``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .norm import rms_norm
+
+
+def rope(x: jnp.ndarray) -> jnp.ndarray:
+    """rotary position embedding over (B, L, H, D) with even D"""
+    _, L, _, D = x.shape
+    assert D % 2 == 0, "head_dim must be even"
+    inv_freq = 10000.0 ** (jnp.arange(0, D, 2, dtype=jnp.float32) / -D)
+    angles = jnp.arange(L, dtype=jnp.float32)[:, None] * inv_freq[None, :]  # (L, D/2)
+    cos = jnp.cos(angles).astype(x.dtype)[None, :, None, :]
+    sin = jnp.sin(angles).astype(x.dtype)[None, :, None, :]
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+class RoPEAttention(nn.Module):
+    """multi-head self-attention over (B, L, C) with RoPE and q/k norms"""
+
+    n_heads: int
+    head_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, L, _ = x.shape
+        H, D = self.n_heads, self.head_dim
+
+        qkv = nn.Dense(3 * H * D, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, L, 3, H, D)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        q_gamma = self.param("q_gamma", nn.initializers.ones, (D,), jnp.float32)
+        k_gamma = self.param("k_gamma", nn.initializers.ones, (D,), jnp.float32)
+        q = rope(rms_norm(q, q_gamma))
+        k = rope(rms_norm(k, k_gamma))
+
+        y = jax.nn.dot_product_attention(q, k, v)  # (B, L, H, D)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y.reshape(B, L, H * D))

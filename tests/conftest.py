@@ -8,9 +8,19 @@ compile ~10x, which would tax the whole suite.
 """
 
 import os
+import sys
 
-# must be set before jax is imported anywhere; unconditional — the ambient
-# environment may point JAX at a (slow, tunneled) accelerator
+# The ambient environment registers a tunneled TPU backend in every python
+# process via sitecustomize (keyed on PALLAS_AXON_POOL_IPS), whose remote
+# session setup can block for minutes. That registration happened before this
+# file runs, so scrubbing the env here is too late — re-exec the test process
+# once with the accelerator env removed and JAX pinned to CPU.
+if os.environ.get("PALLAS_AXON_POOL_IPS"):
+    clean = {k: v for k, v in os.environ.items() if "AXON" not in k.upper()}
+    clean.pop("PJRT_LIBRARY_PATH", None)
+    clean["JAX_PLATFORMS"] = "cpu"
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], clean)
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
