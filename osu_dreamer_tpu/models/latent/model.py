@@ -256,3 +256,9 @@ class LatentModel(nn.Module):
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """training forward: (chart logits, label predictions)"""
         return self.decode_logits(z, s, spec=spec), self.predict_labels(s)
+
+    def init_all(self, spec: jnp.ndarray, chart: jnp.ndarray):
+        """initialization entry point touching every submodule (flax only
+        creates parameters on paths the init function actually traces)"""
+        z, s = self.encode_chart(chart)
+        return self.decode_logits(z, s, spec=spec), self.predict_labels(s)

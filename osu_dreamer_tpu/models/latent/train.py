@@ -1,0 +1,218 @@
+"""Stage-1 training step for the chart WAE.
+
+Capability parity with reference models/latent/train.py:
+- each window is halved into two batch items whose style codes are SWAPPED
+  before decoding, so reconstruction itself enforces style consistency
+  (:80-92);
+- WAE-MMD pull of s towards N(0, I) (:88, weight 1e-3);
+- train-only z/s gaussian noise, s -> prior-sample masking, and contiguous
+  z-span zeroing that pushes slow information into s / audio skips (:94-112);
+- losses: per-channel hit BCE minus the soft-target entropy floor (:116-123),
+  cursor MSE on 0th/1st/2nd temporal differences (:125-131), label MSE
+  excluding s-masked rows (:133-134);
+- fixed component weights normalized by a 0.01-EMA of each component
+  (:21-33, :139-147) — the EMA lives in the TrainState and is updated inside
+  the jitted step.
+
+The whole step (loss, grads, optimizer, EMA bookkeeping) is one jitted
+function with donated state.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from osu_dreamer_tpu.nn import mmd_imq
+from osu_dreamer_tpu.signal import CURSOR_DIM, HIT_DIM
+from osu_dreamer_tpu.train.state import OptimizerArgs, TrainState, create_train_state
+
+from .model import LatentModel, LatentModelArgs
+
+LOSS_COMPONENTS = (
+    "hit/onset", "hit/combo", "hit/slide", "hit/sustain",
+    "hit/whistle", "hit/finish", "hit/clap",
+    "cursor/pos", "cursor/vel", "cursor/acc",
+    "label",
+)
+LOSS_WEIGHTS = jnp.array([1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2], jnp.float32)
+
+
+@dataclass
+class LatentTrainArgs:
+    opt: OptimizerArgs = field(default_factory=OptimizerArgs)
+    s_reg_weight: float = 1e-3
+    s_noise: float = 0.2
+    z_noise: float = 0.2
+    s_mask_frac: float = 0.1
+    z_mask_frac: float = 0.25
+
+
+class Batch(NamedTuple):
+    """one training batch, channel-last"""
+
+    audio: jnp.ndarray   # (B, L, A_DIM)
+    chart: jnp.ndarray   # (B, L, X_DIM)
+    labels: jnp.ndarray  # (B, NUM_LABELS)
+
+
+def _split_halves(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, L, C) -> (2B, L/2, C): window halves become separate items"""
+    B, L, C = x.shape
+    return x.reshape(B * 2, L // 2, C)
+
+
+def _swap_style_pairs(s: jnp.ndarray) -> jnp.ndarray:
+    """(2B, S) -> style codes exchanged within each adjacent pair"""
+    S = s.shape[-1]
+    return jnp.flip(s.reshape(-1, 2, S), axis=1).reshape(-1, S)
+
+
+def _binary_entropy(t: jnp.ndarray) -> jnp.ndarray:
+    """soft-target BCE floor: H(t) = -t log t - (1-t) log(1-t)"""
+    return -(jax.scipy.special.xlogy(t, t) + jax.scipy.special.xlogy(1 - t, 1 - t))
+
+
+def latent_loss(
+    model: LatentModel,
+    params: Any,
+    rng: jax.Array,
+    batch: Batch,
+    args: LatentTrainArgs,
+    train: bool,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray], jnp.ndarray]:
+    """-> (loss components (11,), aux metrics, s_reg loss)"""
+    audio = _split_halves(batch.audio)
+    chart = _split_halves(batch.chart)
+    labels = jnp.repeat(batch.labels, 2, axis=0)
+    B2 = chart.shape[0]
+
+    k_prior, k_sn, k_zn, k_smask, k_srepl, k_span, k_start = jax.random.split(rng, 7)
+
+    z, s = model.apply(params, chart, method=LatentModel.encode_chart)
+
+    s_reg = mmd_imq(s, jax.random.normal(k_prior, s.shape))
+
+    s = _swap_style_pairs(s)
+
+    s_masked = jnp.zeros(B2, bool)
+    if train:
+        s = s + args.s_noise * jax.random.normal(k_sn, s.shape, s.dtype)
+        z = z + args.z_noise * jax.random.normal(k_zn, z.shape, z.dtype)
+
+        if args.s_mask_frac > 0:
+            s_masked = jax.random.uniform(k_smask, (B2,)) < args.s_mask_frac
+            s = jnp.where(s_masked[:, None], jax.random.normal(k_srepl, s.shape, s.dtype), s)
+
+        if args.z_mask_frac > 0:
+            # zero a random contiguous span of z per item: the decoder must
+            # fill the gap from s + audio, making slow info cheaper in s
+            l = z.shape[1]
+            span = (jax.random.uniform(k_span, (B2,)) * args.z_mask_frac * l).astype(jnp.int32)
+            start = (
+                jax.random.uniform(k_start, (B2,))
+                * jnp.maximum(l - span, 1).astype(jnp.float32)
+            ).astype(jnp.int32)
+            idx = jnp.arange(l)[None, :]
+            in_span = (idx >= start[:, None]) & (idx < (start + span)[:, None])
+            z = jnp.where(in_span[:, :, None], 0.0, z)
+
+    logits, pred_labels = model.apply(params, audio, z, s)
+
+    # --- hit channels: BCE minus its soft-target floor, per channel ---
+    true_hits = chart[..., :HIT_DIM].astype(jnp.float32)
+    hit_logits = logits[..., :HIT_DIM].astype(jnp.float32)
+    bce = (
+        jnp.maximum(hit_logits, 0)
+        - hit_logits * true_hits
+        + jnp.log1p(jnp.exp(-jnp.abs(hit_logits)))
+    )
+    hit_losses = (bce - _binary_entropy(true_hits)).mean(axis=(0, 1))  # (7,)
+
+    # --- cursor: MSE on position / velocity / acceleration ---
+    true_xy = chart[..., HIT_DIM:].astype(jnp.float32)
+    pred_xy = logits[..., HIT_DIM:].astype(jnp.float32)
+    cursor_losses = [
+        jnp.mean((jnp.diff(pred_xy, n=n, axis=1) - jnp.diff(true_xy, n=n, axis=1)) ** 2)
+        for n in range(3)
+    ]
+
+    # --- labels, skipping rows whose style was replaced by a prior sample ---
+    label_err = ((pred_labels.astype(jnp.float32) - labels) ** 2).mean(axis=1)
+    kept = ~s_masked
+    label_loss = jnp.where(kept, label_err, 0.0).sum() / jnp.maximum(kept.sum(), 1)
+
+    components = jnp.stack([*hit_losses, *cursor_losses, label_loss])
+    aux = {name: components[i] for i, name in enumerate(LOSS_COMPONENTS)}
+    aux["s_reg"] = s_reg
+    return components, aux, s_reg
+
+
+def make_train_step(model: LatentModel, tx: optax.GradientTransformation, args: LatentTrainArgs):
+    """build the jitted train step: (state, batch) -> (state, metrics)"""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Batch):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            components, aux, s_reg = latent_loss(model, params, step_rng, batch, args, True)
+            # normalize each component by its running magnitude (EMA held in
+            # state); first step falls back to the raw components
+            ema = jnp.where(state.loss_ema_ready, state.loss_ema, jax.lax.stop_gradient(components))
+            total = (LOSS_WEIGHTS * components / jnp.clip(ema, 1e-8)).sum()
+            total = total + args.s_reg_weight * s_reg
+            aux["loss"] = total
+            return total, (components, aux)
+
+        (_, (components, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        detached = jax.lax.stop_gradient(components)
+        loss_ema = jnp.where(
+            state.loss_ema_ready,
+            state.loss_ema * 0.99 + detached * 0.01,
+            detached,
+        )
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            rng=rng,
+            loss_ema=loss_ema,
+            loss_ema_ready=jnp.ones((), bool),
+        )
+        return new_state, aux
+
+    return train_step
+
+
+def init_latent_training(
+    model_args: LatentModelArgs, train_args: LatentTrainArgs, rng: jax.Array, seq_len: int
+):
+    """-> (model, state, train_step)"""
+    from osu_dreamer_tpu.audio import A_DIM
+    from osu_dreamer_tpu.signal import X_DIM
+    from osu_dreamer_tpu.train.state import make_optimizer
+
+    model = LatentModel(model_args)
+    k_init, k_state = jax.random.split(rng)
+    half = seq_len // 2
+    params = model.init(
+        k_init,
+        jnp.zeros((2, half, A_DIM)),
+        jnp.zeros((2, half, X_DIM)),
+        method=LatentModel.init_all,
+    )
+    tx = make_optimizer(train_args.opt)
+    state = create_train_state(
+        params, tx, k_state, with_ema=False, n_loss_components=len(LOSS_COMPONENTS)
+    )
+    return model, state, make_train_step(model, tx, train_args)

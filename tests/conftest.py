@@ -8,20 +8,15 @@ compile ~10x, which would tax the whole suite.
 """
 
 import os
-import sys
 
-# The ambient environment registers a tunneled TPU backend in every python
-# process via sitecustomize (keyed on PALLAS_AXON_POOL_IPS), whose remote
-# session setup can block for minutes. That registration happened before this
-# file runs, so scrubbing the env here is too late — re-exec the test process
-# once with the accelerator env removed and JAX pinned to CPU.
-if os.environ.get("PALLAS_AXON_POOL_IPS"):
-    clean = {k: v for k, v in os.environ.items() if "AXON" not in k.upper()}
-    clean.pop("PJRT_LIBRARY_PATH", None)
-    clean["JAX_PLATFORMS"] = "cpu"
-    os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], clean)
-
+# must be set before jax is imported anywhere; unconditional — the ambient
+# environment points JAX at a (slow, tunneled) accelerator. NOTE: avoid
+# running two jax processes concurrently in this environment; the ambient
+# sitecustomize opens a TPU relay session per process and concurrent
+# sessions can block each other for minutes.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tests")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import numpy as np
 import pytest
