@@ -1,0 +1,114 @@
+"""Headline benchmark: maps/min per chip — full generation pipeline on a
+2-minute song at 32 diffusion steps (BASELINE.json config 1).
+
+Pipeline timed: resonator spectrogram (featurizer) -> audio encode -> style
+sample (16 steps) -> diffusion sphere tracing (32 steps) -> chart decode.
+Host-side .osu serialization is excluded here (it is O(100ms) and measured
+separately in tests); weights are random — throughput is architecture-bound,
+not weight-bound.
+
+``vs_baseline``: the reference (jaswon/osu-dreamer) publishes no numbers and
+its CUDA/torch stack cannot run in this environment (BASELINE.md). The ratio
+is therefore computed against a documented estimate of the reference's
+single-GPU sampling throughput at the same config: ~2 maps/min (a 25M-param
+depth-8/512 attention backbone over ~750 latent frames, 33 sequential
+passes, plus per-step host sync overhead of its Python loop). Revisit when a
+runnable reference baseline exists.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+REFERENCE_MAPS_PER_MIN_ESTIMATE = 2.0
+SONG_SECONDS = 120
+NUM_STEPS = 32
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.audio import HOP_LEN, SR, make_spec
+    from osu_dreamer_tpu.models.inference import LDM, LDMArgs
+
+    log(f"devices: {jax.devices()}")
+
+    # --- synthesize a 2-minute song ---
+    rng = np.random.default_rng(0)
+    t = np.arange(SONG_SECONDS * SR) / SR
+    wave = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 440 * t * (1 + 0.001 * np.sin(2 * np.pi * 0.5 * t)))
+        + 0.05 * rng.normal(size=t.shape)
+    ).astype(np.float32)
+
+    # --- featurize (timed separately below as part of each run) ---
+    args = LDMArgs()
+    model = LDM(args)
+    chunk = args.latent.chunk_size
+
+    def featurize(w):
+        spec = make_spec(w)  # (F, L)
+        L = spec.shape[1]
+        pad = (chunk - L % chunk) % chunk
+        spec_t = np.pad(spec.T, ((0, pad), (0, 0)), mode="edge")  # (Lp, F)
+        return jnp.asarray(spec_t[None], jnp.float32)
+
+    spec = featurize(wave)
+    log(f"spec: {spec.shape}")
+
+    labels = jnp.asarray([[5.0, 9.0, 8.0, 4.0, 6.0]], jnp.float32)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    params = jax.jit(lambda k: model.init(k, spec, labels, k, 1, 1))(key)
+    jax.block_until_ready(params)
+    log(f"init: {time.time() - t0:.1f}s")
+
+    sample = jax.jit(
+        lambda p, sp, lb, k: model.apply(p, sp, lb, k, NUM_STEPS),
+    )
+
+    # warmup / compile
+    t0 = time.time()
+    chart, out_labels = sample(params, spec, labels, key)
+    jax.block_until_ready(chart)
+    log(f"compile+first run: {time.time() - t0:.1f}s; chart {chart.shape}")
+
+    # timed runs (featurizer + full pipeline)
+    times = []
+    for i in range(3):
+        k = jax.random.PRNGKey(i + 1)
+        t0 = time.time()
+        spec_i = featurize(wave)
+        chart, out_labels = sample(params, spec_i, labels, k)
+        jax.block_until_ready(chart)
+        times.append(time.time() - t0)
+    per_map = float(np.median(times))
+    maps_per_min = 60.0 / per_map
+    log(f"per-map: {times} -> median {per_map:.3f}s = {maps_per_min:.1f} maps/min")
+
+    print(
+        json.dumps(
+            {
+                "metric": "maps/min per chip (2-min song, 32 steps)",
+                "value": round(maps_per_min, 2),
+                "unit": "maps/min",
+                "vs_baseline": round(maps_per_min / REFERENCE_MAPS_PER_MIN_ESTIMATE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
