@@ -1,0 +1,31 @@
+"""The seven-command CLI, surface-identical to the reference
+(``python -m osu_dreamer_tpu <command>``): generate-data, fit-latent,
+encode-latents, fit-denoiser, fit-style, export-inference, predict."""
+
+from __future__ import annotations
+
+import click
+
+from .commands import (
+    encode_latents,
+    export_inference_cmd,
+    fit_denoiser,
+    fit_latent,
+    fit_style,
+    generate_data,
+    predict,
+)
+
+
+@click.group()
+def main():
+    """osu!dreamer-tpu: generate osu!standard beatmaps from raw audio."""
+
+
+main.add_command(generate_data)
+main.add_command(fit_latent)
+main.add_command(encode_latents)
+main.add_command(fit_denoiser)
+main.add_command(fit_style)
+main.add_command(export_inference_cmd)
+main.add_command(predict)

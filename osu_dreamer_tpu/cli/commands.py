@@ -1,0 +1,251 @@
+"""CLI command implementations.
+
+Capability parity with reference scripts/ (SURVEY.md §2.11): the same seven
+commands with the same flags and on-disk layouts. Heavy imports are deferred
+into the command bodies so `--help` stays instant.
+"""
+
+from __future__ import annotations
+
+import random
+from pathlib import Path
+from typing import Optional
+
+import click
+
+file_opt = click.Path(exists=True, dir_okay=False, path_type=Path)
+dir_opt = click.Path(file_okay=False, path_type=Path)
+
+
+# ------------------------------------------------------------ generate-data --
+
+
+@click.command("generate-data")
+@click.option("--data-dir", type=dir_opt, default=Path("./data"), help="output directory for pre-processed training samples")
+@click.option("--num-workers", type=click.IntRange(min=1), default=2, help="host worker threads for beatmap parsing/encoding")
+@click.option("--force", is_flag=True, help="overwrite existing pre-processed maps")
+def generate_data(data_dir: Path, num_workers: int, force: bool):
+    """generate the training dataset (streams the HF beatmap corpus;
+    spectrograms run on the accelerator, parsing on host workers)"""
+    from tqdm import tqdm
+
+    from osu_dreamer_tpu.data.ingest import build_dataset
+
+    with tqdm(unit="sample") as pbar:
+        for _written in build_dataset(data_dir, num_workers, force):
+            pbar.update(1)
+
+
+# ---------------------------------------------------------------- training --
+
+
+def _config_option(stage: str):
+    default = Path(__file__).parent.parent / "models" / stage / "config.yml"
+    return click.option(
+        "-c", "--config", type=file_opt, default=default, help="training config file"
+    )
+
+
+@click.command("fit-latent")
+@_config_option("latent")
+@click.option("--ckpt-path", type=click.Path(exists=True, path_type=Path), help="checkpoint to resume from")
+def fit_latent(config: Path, ckpt_path: Optional[Path]):
+    """train the stage-1 chart autoencoder"""
+    from osu_dreamer_tpu.models.latent.fit import run
+
+    run(config, str(ckpt_path) if ckpt_path else None)
+
+
+@click.command("fit-denoiser")
+@_config_option("diffusion")
+@click.option("--ckpt-path", type=click.Path(exists=True, path_type=Path), help="checkpoint to resume from")
+def fit_denoiser(config: Path, ckpt_path: Optional[Path]):
+    """train the stage-2 latent denoiser"""
+    from osu_dreamer_tpu.models.diffusion.fit import run
+
+    run(config, str(ckpt_path) if ckpt_path else None)
+
+
+@click.command("fit-style")
+@_config_option("style")
+@click.option("--ckpt-path", type=click.Path(exists=True, path_type=Path), help="checkpoint to resume from")
+def fit_style(config: Path, ckpt_path: Optional[Path]):
+    """train the stage-3 style prior"""
+    from osu_dreamer_tpu.models.style.fit import run
+
+    run(config, str(ckpt_path) if ckpt_path else None)
+
+
+# ----------------------------------------------------------- encode-latents --
+
+
+@click.command("encode-latents")
+@click.option("--latent-ckpt-path", type=click.Path(exists=True, path_type=Path), default=Path("runs/latent/best"), help="latent checkpoint directory")
+@click.option("--data-dir", type=click.Path(exists=True, file_okay=False, path_type=Path), default=Path("./data"), help="pre-processed dataset directory")
+@click.option("--force", is_flag=True, help="overwrite existing cached latents")
+def encode_latents(latent_ckpt_path: Path, data_dir: Path, force: bool):
+    """precompute latent encodings (h, z, s, labels) for stages 2/3.
+
+    caches per map: <id>.latent.npz (z, s, labels); per mapset: h.npy
+    (audio features at latent rate). Maps are bucket-padded so the encoder
+    compiles a handful of shapes."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tqdm import tqdm
+
+    from osu_dreamer_tpu.audio import read_spec
+    from osu_dreamer_tpu.data import pad_to_multiple
+    from osu_dreamer_tpu.models.latent import LatentModel, LatentModelArgs
+    from osu_dreamer_tpu.signal import read_beatmap
+    from osu_dreamer_tpu.train.checkpoint import load_train_checkpoint
+    from osu_dreamer_tpu.utils import dataclass_from_dict
+
+    ckpt = load_train_checkpoint(latent_ckpt_path)
+    model_args = dataclass_from_dict(LatentModelArgs, ckpt.hparams["model"])
+    model = LatentModel(model_args)
+    params = ckpt.params
+    chunk = model_args.chunk_size
+    bucket = chunk * 64
+
+    @partial(jax.jit, static_argnums=())
+    def encode_audio(spec):
+        _, h = model.apply(params, spec, method=LatentModel.encode_audio)
+        return h
+
+    @jax.jit
+    def encode_chart(chart):
+        return model.apply(params, chart, method=LatentModel.encode_chart)
+
+    map_files = sorted(data_dir.rglob("*.map.npy"))
+    if not map_files:
+        raise click.ClickException(f"no pre-processed maps found in {data_dir}")
+
+    for map_file in tqdm(map_files, unit="map"):
+        out_file = map_file.with_name(map_file.name.removesuffix(".map.npy") + ".latent.npz")
+        h_file = map_file.parent / "h.npy"
+        if not force and out_file.exists() and h_file.exists():
+            continue
+
+        if force or not h_file.exists():
+            with open(map_file.parent / "spec.npy", "rb") as f:
+                spec = read_spec(f).T.astype(np.float32)  # (L, A)
+            n_latent = -(-spec.shape[0] // chunk)
+            padded = pad_to_multiple(spec, bucket)[None]
+            h = np.asarray(encode_audio(jnp.asarray(padded))[0, :n_latent], np.float32)
+            np.save(h_file, h)
+
+        with open(map_file, "rb") as f:
+            chart_cl, labels = read_beatmap(f)
+        chart = chart_cl.T.astype(np.float32)  # (L, X)
+        n_latent = -(-chart.shape[0] // chunk)
+        padded = pad_to_multiple(chart, bucket)[None]
+        z, s = encode_chart(jnp.asarray(padded))
+        np.savez(
+            out_file,
+            z=np.asarray(z[0, :n_latent], np.float32),
+            s=np.asarray(s[0], np.float32),
+            labels=labels,
+        )
+
+
+# --------------------------------------------------------- export-inference --
+
+
+@click.command("export-inference")
+@click.option("--latent-ckpt-path", type=click.Path(exists=True, path_type=Path), default=Path("runs/latent/best"), help="latent checkpoint")
+@click.option("--denoiser-ckpt-path", type=click.Path(exists=True, path_type=Path), default=Path("runs/denoiser/best"), help="denoiser checkpoint")
+@click.option("--style-ckpt-path", type=click.Path(exists=True, path_type=Path), default=Path("runs/style/best"), help="style checkpoint")
+@click.option("--output-path", type=click.Path(exists=False, dir_okay=False, path_type=Path), default=Path("inference.odt"), help="artifact output path")
+def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, output_path):
+    """merge the three training checkpoints into one inference artifact"""
+    from osu_dreamer_tpu.models.inference import save_inference
+
+    save_inference(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, output_path)
+    click.echo(f"wrote {output_path}")
+
+
+# ----------------------------------------------------------------- predict --
+
+
+@click.command("predict")
+@click.option("--model-path", type=file_opt, required=True, help="inference artifact")
+@click.option("--audio-file", type=file_opt, required=True, help="audio file to map")
+@click.option("--diff", type=(float, float, float, float, float), multiple=True, help="difficulty conditioning (sr, ar, od, cs, hp); repeatable")
+@click.option("--sample-steps", type=int, default=8, help="number of diffusion steps")
+@click.option("--title", type=str, help="song title (read from audio tags when omitted)")
+@click.option("--artist", type=str, help="song artist (read from audio tags when omitted)")
+@click.option("--seed", type=int, default=None, help="sampling seed (default: random)")
+def predict(model_path, audio_file, diff, sample_steps, title, artist, seed):
+    """generate osu!std beatmaps from raw audio -> an .osz mapset"""
+    from zipfile import ZipFile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osu_dreamer_tpu.audio import load_wave, make_spec
+    from osu_dreamer_tpu.data import pad_to_multiple
+    from osu_dreamer_tpu.models.inference import load_inference
+    from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
+
+    title, artist = _resolve_metadata(audio_file, title, artist)
+    if not diff:
+        diff = ((5.0, 9.0, 8.0, 4.0, 6.0),)
+
+    model, params = load_inference(model_path)
+
+    click.echo("featurizing audio...")
+    spec = make_spec(load_wave(audio_file))  # (F, L)
+    L = spec.shape[1]
+    chunk = model.args.latent.chunk_size
+    spec_padded = jnp.asarray(pad_to_multiple(spec.T.astype(np.float32), chunk))[None]
+
+    labels = jnp.asarray(diff, jnp.float32)
+    key = jax.random.PRNGKey(seed if seed is not None else random.randrange(2**31))
+
+    click.echo(f"sampling {labels.shape[0]} difficulties at {sample_steps} steps...")
+    sample = jax.jit(lambda p, sp, lb, k: model.apply(p, sp, lb, k, sample_steps))
+    chart, pred_labels = sample(params, spec_padded, labels, key)
+    signals = np.asarray(chart, np.float32)[:, :L].transpose(0, 2, 1)  # (B, X, L)
+    pred_labels = np.asarray(pred_labels, np.float32)
+
+    hex_chars = "0123456789abcdef"
+    while True:
+        tag = "".join(random.choice(hex_chars) for _ in range(7))
+        mapset = Path(f"_{tag} {artist} - {title}.osz")
+        if not mapset.exists():
+            break
+
+    with ZipFile(mapset, "x") as archive:
+        archive.write(audio_file, audio_file.name)
+        for i, (label_row, signal) in enumerate(zip(pred_labels, signals)):
+            click.echo(f"serializing difficulty {i}...")
+            archive.writestr(
+                f"{artist} - {title} (osu!dreamer-tpu) [version {i}].osu",
+                decode_beatmap(
+                    MapMetadata(audio_file.name, title, artist, f"version {i}"),
+                    label_row,
+                    signal,
+                ),
+            )
+    click.echo(f"wrote {mapset}")
+
+
+def _resolve_metadata(audio_file: Path, title: Optional[str], artist: Optional[str]):
+    if title is None or artist is None:
+        try:
+            from tinytag import TinyTag
+
+            tags = TinyTag.get(audio_file)
+            title = title or tags.title
+            artist = artist or tags.artist
+        except ImportError:
+            pass
+    if not title:
+        title = audio_file.stem
+    if not artist:
+        artist = "Unknown Artist"
+    return title, artist

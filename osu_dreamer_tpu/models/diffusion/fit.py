@@ -1,0 +1,126 @@
+"""fit-denoiser: wire config -> cached-latent streams -> train loop.
+
+Validation parity with reference diffusion/train.py:128-139: each held-out
+full map is sliced into ``val_batches`` equal segments, stacked as a batch,
+and scored with the distance-marching losses using the EMA weights; the
+checkpoint monitor is val/loss.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from osu_dreamer_tpu.data import batched, hold_out_mapsets, latent_windows, prefetch
+from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
+from osu_dreamer_tpu.train.state import TrainState
+from osu_dreamer_tpu.utils import dataclass_from_dict, load_yaml_config
+
+from .model import DiffusionModel, DiffusionModelArgs
+from .train import (
+    DiffusionTrainArgs,
+    LatentBatch,
+    diffusion_loss,
+    init_diffusion_training,
+)
+
+
+@dataclass
+class DiffusionDataArgs:
+    data_dir: str = "./data"
+    seq_len: int = 152
+    batch_size: int = 128
+    max_val_count: int = 128
+    max_val_frac: float = 0.3
+    max_per_map: int = 1
+    shuffle_buffer: int = 512
+
+
+def run(config_path: str | Path | None = None, resume_from: str | None = None) -> TrainState:
+    config_path = config_path or Path(__file__).parent / "config.yml"
+    cfg = load_yaml_config(config_path)
+
+    model_args = dataclass_from_dict(DiffusionModelArgs, cfg.get("model", {}))
+    train_args = dataclass_from_dict(DiffusionTrainArgs, cfg.get("train", {}))
+    data_args = dataclass_from_dict(DiffusionDataArgs, cfg.get("data", {}))
+    fit_args = dataclass_from_dict(FitArgs, cfg.get("fit", {}))
+
+    train_sets, val_sets = hold_out_mapsets(
+        Path(data_args.data_dir), "*.latent.npz",
+        data_args.max_val_count, data_args.max_val_frac,
+    )
+
+    rng = jax.random.PRNGKey(fit_args.seed)
+    model, state, train_step = init_diffusion_training(
+        model_args, train_args, rng, data_args.seq_len
+    )
+
+    def train_stream(epoch: int) -> Iterator[LatentBatch]:
+        stream = latent_windows(
+            train_sets,
+            data_args.seq_len,
+            shuffle_buffer=data_args.shuffle_buffer,
+            max_per_map=data_args.max_per_map,
+            seed=fit_args.seed + epoch,
+        )
+        for b in prefetch(batched(stream, data_args.batch_size)):
+            yield LatentBatch(*(jnp.asarray(x) for x in b))
+
+    val_seg = data_args.seq_len
+    vb = train_args.val_batches
+
+    @jax.jit
+    def val_loss(params, batch: LatentBatch, rng):
+        _, aux = diffusion_loss(model, params, rng, batch, train_args, train=False)
+        return aux
+
+    def validate(state: TrainState) -> dict[str, float]:
+        key = jax.random.PRNGKey(0)
+        totals: dict[str, float] = {}
+        n = 0
+        for sample in latent_windows(val_sets, None):
+            l = sample.z.shape[0]
+            seg = l // vb
+            if seg == 0:
+                continue
+            # equal segments of one full map as a batch (EMA weights)
+            take = vb * seg
+            h = sample.h[:take].reshape(vb, seg, -1)
+            z = sample.z[:take].reshape(vb, seg, -1)
+            # pad segments to the training window so val reuses one compile
+            if seg < val_seg:
+                pad = val_seg - seg
+                h = np.pad(h, ((0, 0), (0, pad), (0, 0)), mode="edge")
+                z = np.pad(z, ((0, 0), (0, pad), (0, 0)), mode="edge")
+            else:
+                h, z = h[:, :val_seg], z[:, :val_seg]
+            batch = LatentBatch(
+                h=jnp.asarray(h),
+                z=jnp.asarray(z),
+                s=jnp.asarray(np.broadcast_to(sample.s, (vb, *sample.s.shape))),
+                labels=jnp.asarray(np.broadcast_to(sample.labels, (vb, *sample.labels.shape))),
+            )
+            key, k = jax.random.split(key)
+            aux = val_loss(state.ema_params, batch, k)
+            for name, v in aux.items():
+                totals[name] = totals.get(name, 0.0) + float(v)
+            n += 1
+        if n == 0:
+            return {}
+        return {f"val/{k}": v / n for k, v in totals.items()}
+
+    stage = Stage(
+        name="denoiser",
+        hparams={"model": cfg.get("model", {}), "train": cfg.get("train", {})},
+        state=state,
+        train_step=train_step,
+        train_stream=train_stream,
+        validate=validate,
+    )
+    return fit(stage, fit_args, resume_from)

@@ -1,0 +1,130 @@
+"""Orbax checkpointing with best-by-metric + resume semantics.
+
+Parity with the reference's Lightning checkpointing (SURVEY.md §5):
+``ModelCheckpoint(save_top_k=1, monitor=<metric>)`` + ``--ckpt-path`` resume
+(latent/model.yml:16-21, fit_latent.py:32). A checkpoint directory holds the
+full TrainState (params, optimizer, EMA, loss-EMA, rng, step) plus a JSON
+sidecar with hyperparameters and the monitored metric, so export-inference
+can rebuild models without the training config files.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+_STATE_DIR = "state"
+_META_FILE = "meta.json"
+
+
+@dataclass
+class LoadedCheckpoint:
+    params: Any
+    ema_params: Optional[Any]
+    step: int
+    hparams: dict[str, Any]
+    metric: Optional[float]
+
+
+def save_train_checkpoint(
+    path: str | Path,
+    state: TrainState,
+    hparams: dict[str, Any],
+    metric: Optional[float] = None,
+) -> None:
+    """write a full training checkpoint (overwrites `path`)"""
+    path = Path(path).absolute()
+    if path.exists():
+        shutil.rmtree(path)
+    path.mkdir(parents=True)
+
+    host_state = jax.tree.map(np.asarray, jax.device_get(state))
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path / _STATE_DIR, host_state)
+
+    (path / _META_FILE).write_text(
+        json.dumps({"hparams": hparams, "metric": metric, "step": int(state.step)})
+    )
+
+
+def restore_train_state(path: str | Path, template: TrainState) -> TrainState:
+    """restore a TrainState for resuming training; `template` supplies the
+    pytree structure (abstract shapes are inferred from it)"""
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
+        return ckptr.restore(path / _STATE_DIR, target)
+
+
+def load_train_checkpoint(path: str | Path) -> LoadedCheckpoint:
+    """load params/EMA/hparams without needing the full state template
+    (used by encode-latents and export-inference)"""
+    path = Path(path).absolute()
+    meta = json.loads((path / _META_FILE).read_text())
+
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(path / _STATE_DIR)
+
+    return LoadedCheckpoint(
+        params=raw["params"],
+        ema_params=raw.get("ema_params"),
+        step=int(meta.get("step", 0)),
+        hparams=meta["hparams"],
+        metric=meta.get("metric"),
+    )
+
+
+class BestCheckpointKeeper:
+    """keep the single best checkpoint by a monitored metric
+    (Lightning ``ModelCheckpoint(save_top_k=1)`` semantics) plus a rolling
+    ``last`` checkpoint for crash resume"""
+
+    def __init__(self, run_dir: str | Path, monitor: str, mode: str = "min"):
+        assert mode in ("min", "max")
+        self.run_dir = Path(run_dir)
+        self.monitor = monitor
+        self.mode = mode
+        self.best_metric: Optional[float] = None
+        # recover best metric from an existing run dir (resume)
+        best_meta = self.run_dir / "best" / _META_FILE
+        if best_meta.exists():
+            self.best_metric = json.loads(best_meta.read_text()).get("metric")
+
+    @property
+    def best_path(self) -> Path:
+        return self.run_dir / "best"
+
+    @property
+    def last_path(self) -> Path:
+        return self.run_dir / "last"
+
+    def update(
+        self, state: TrainState, hparams: dict[str, Any], metrics: dict[str, float]
+    ) -> bool:
+        """save `last`; promote to `best` when the monitored metric improves.
+        returns True when a new best was saved"""
+        value = metrics.get(self.monitor)
+        save_train_checkpoint(self.last_path, state, hparams, value)
+
+        if value is None:
+            return False
+        improved = (
+            self.best_metric is None
+            or (self.mode == "min" and value < self.best_metric)
+            or (self.mode == "max" and value > self.best_metric)
+        )
+        if improved:
+            self.best_metric = value
+            if self.best_path.exists():
+                shutil.rmtree(self.best_path)
+            shutil.copytree(self.last_path, self.best_path)
+        return improved

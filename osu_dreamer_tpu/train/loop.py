@@ -1,0 +1,125 @@
+"""Generic fit loop: epochs of jitted steps + validation + checkpoints.
+
+Replaces the reference's Lightning ``Trainer.fit`` plumbing: per-step
+logging (train/ prefix), per-epoch validation (val/, eval/ prefixes),
+best-by-metric checkpointing with rolling ``last`` for resume, early
+stopping, and TensorBoard scalars — driven by plain callables so each stage
+stays a pure function of its TrainState.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import BestCheckpointKeeper, restore_train_state
+from .logging import MetricsLogger
+from .state import TrainState
+
+
+@dataclass
+class FitArgs:
+    run_dir: str = "runs/run"
+    max_epochs: int = -1          # -1: run until early stopping / interrupt
+    max_steps: int = -1
+    log_every: int = 10
+    monitor: str = "val/loss"
+    monitor_mode: str = "min"
+    early_stop_patience: int = 0  # 0: disabled
+    early_stop_min_delta: float = 0.0
+    seed: int = 0
+
+
+@dataclass
+class Stage:
+    """everything the loop needs to train one model stage"""
+
+    name: str
+    hparams: dict[str, Any]
+    state: TrainState
+    train_step: Callable[[TrainState, Any], tuple[TrainState, dict]]
+    train_stream: Callable[[int], Iterable]   # epoch -> batch iterable
+    validate: Optional[Callable[[TrainState], dict[str, float]]] = None
+    on_validation: Optional[Callable[[TrainState, int], None]] = None  # e.g. plots
+
+
+def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> TrainState:
+    run_dir = Path(args.run_dir)
+    logger = MetricsLogger(run_dir / "tb")
+    keeper = BestCheckpointKeeper(run_dir, args.monitor, args.monitor_mode)
+
+    state = stage.state
+    if resume_from:
+        state = restore_train_state(resume_from, state)
+        print(f"resumed from {resume_from} at step {int(state.step)}")
+
+    best = keeper.best_metric
+    stale_epochs = 0
+    epoch = 0
+    stop = False
+
+    try:
+        while not stop and (args.max_epochs < 0 or epoch < args.max_epochs):
+            epoch_t0 = time.time()
+            n_batches = 0
+            for batch in stage.train_stream(epoch):
+                state, metrics = stage.train_step(state, batch)
+                n_batches += 1
+                step = int(state.step)
+                if step % args.log_every == 0:
+                    logger.scalars(
+                        {k: v for k, v in metrics.items()}, step, prefix="train/"
+                    )
+                if args.max_steps > 0 and step >= args.max_steps:
+                    stop = True
+                    break
+
+            if n_batches == 0:
+                raise RuntimeError("training stream yielded no batches")
+
+            # --- validation + checkpointing ---
+            val_metrics: dict[str, float] = {}
+            if stage.validate is not None:
+                val_metrics = stage.validate(state)
+                logger.scalars(val_metrics, int(state.step))
+            if stage.on_validation is not None:
+                stage.on_validation(state, int(state.step))
+
+            improved = keeper.update(state, stage.hparams, val_metrics)
+            logger.flush()
+            dt = time.time() - epoch_t0
+            print(
+                f"[{stage.name}] epoch {epoch}: {n_batches} steps in {dt:.1f}s"
+                + (f" | {args.monitor}={val_metrics.get(args.monitor):.5f}" if args.monitor in val_metrics else "")
+                + (" *best*" if improved else "")
+            )
+
+            # --- early stopping ---
+            if args.early_stop_patience > 0 and args.monitor in val_metrics:
+                value = val_metrics[args.monitor]
+                better = (
+                    best is None
+                    or (args.monitor_mode == "min" and value < best - args.early_stop_min_delta)
+                    or (args.monitor_mode == "max" and value > best + args.early_stop_min_delta)
+                )
+                if better:
+                    best = value
+                    stale_epochs = 0
+                else:
+                    stale_epochs += 1
+                    if stale_epochs >= args.early_stop_patience:
+                        print(f"[{stage.name}] early stop: {args.monitor} stale for {stale_epochs} epochs")
+                        stop = True
+
+            epoch += 1
+    except KeyboardInterrupt:
+        print(f"[{stage.name}] interrupted at step {int(state.step)}; last checkpoint kept")
+    finally:
+        logger.close()
+
+    return state
