@@ -34,9 +34,14 @@ def load_wave(audio_file: str | Path) -> np.ndarray:
     audio_file = Path(audio_file)
     head = audio_file.open("rb").read(12)
     if head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        from osu_dreamer_tpu import native
+
+        if native.available():
+            wave, rate = native.wav_decode(audio_file.read_bytes())
+            mono = np.ascontiguousarray(wave.mean(axis=1))
+            return native.resample(mono, rate, SR) if rate != SR else mono
         wave, rate = _decode_wav(audio_file)
-        mono = wave.mean(axis=1)
-        return resample(mono, rate, SR)
+        return resample(wave.mean(axis=1), rate, SR)
     return _decode_via_ffmpeg(audio_file)
 
 

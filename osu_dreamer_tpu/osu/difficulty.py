@@ -92,10 +92,25 @@ def _skill_difficulty(times: np.ndarray, strains: np.ndarray, decay: float) -> f
 
 
 def star_rating(bm: "Beatmap") -> float:
-    """classic two-skill star rating for a parsed beatmap"""
+    """classic two-skill star rating for a parsed beatmap; uses the C++
+    implementation (native/osudreamer_native.cpp) when built"""
     objs = bm.hit_objects
     if len(objs) < 2:
         return 0.0
+
+    from osu_dreamer_tpu import native
+
+    if native.available():
+        pos = np.stack([o.start_pos() for o in objs])
+        return native.star_rating(
+            np.array([float(o.t) for o in objs]), pos[:, 0], pos[:, 1], bm.cs
+        )
+    return _star_rating_py(bm)
+
+
+def _star_rating_py(bm: "Beatmap") -> float:
+    """pure-numpy fallback, semantics identical to the C++ path"""
+    objs = bm.hit_objects
 
     radius = _circle_radius(bm.cs)
     scale = _NORMALIZED_RADIUS / radius
