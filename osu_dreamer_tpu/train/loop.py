@@ -19,6 +19,7 @@ import numpy as np
 
 from .checkpoint import BestCheckpointKeeper, restore_train_state
 from .logging import MetricsLogger
+from .profiling import StepTimer
 from .state import TrainState
 
 
@@ -62,6 +63,7 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
     stale_epochs = 0
     epoch = 0
     stop = False
+    timer = StepTimer()
 
     try:
         while not stop and (args.max_epochs < 0 or epoch < args.max_epochs):
@@ -69,12 +71,15 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
             n_batches = 0
             for batch in stage.train_stream(epoch):
                 state, metrics = stage.train_step(state, batch)
+                timer.tick()
                 n_batches += 1
                 step = int(state.step)
                 if step % args.log_every == 0:
                     logger.scalars(
                         {k: v for k, v in metrics.items()}, step, prefix="train/"
                     )
+                    if timer.steps_per_sec > 0:
+                        logger.scalars({"steps_per_sec": timer.steps_per_sec}, step, prefix="perf/")
                 if args.max_steps > 0 and step >= args.max_steps:
                     stop = True
                     break

@@ -1,0 +1,78 @@
+"""Mesh / sharding tests, run in a subprocess with 8 virtual CPU devices.
+
+``--xla_force_host_platform_device_count`` must be set before jax
+initializes and slows every compile in the process that carries it, so the
+multi-device checks live in a child process — the same way the driver
+exercises ``dryrun_multichip``.
+"""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+CHILD_ENV = {
+    **{k: v for k, v in os.environ.items() if "AXON" not in k.upper()},
+    "JAX_PLATFORMS": "cpu",
+    "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+    "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache_mc",
+}
+CHILD_ENV.pop("PJRT_LIBRARY_PATH", None)
+
+
+def run_child(code: str, timeout: int = 560) -> str:
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=CHILD_ENV,
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+    )
+    assert proc.returncode == 0, f"child failed:\n{proc.stdout}\n{proc.stderr}"
+    return proc.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_8_devices():
+    out = run_child(
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    assert "dryrun_multichip ok: 8 devices" in out
+
+
+@pytest.mark.slow
+def test_dp_grads_match_single_device():
+    """data-parallel gradients over the mesh equal single-device gradients
+    on the same global batch (XLA's psum does the all-reduce)"""
+    out = run_child(
+        """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from osu_dreamer_tpu.parallel import data_parallel_mesh, replicate, shard_batch
+
+mesh = data_parallel_mesh()
+assert len(jax.devices()) == 8
+
+w = jnp.ones((4, 4))
+x = jax.random.normal(jax.random.PRNGKey(0), (16, 4))
+
+def loss(w, x):
+    return jnp.mean((x @ w) ** 2)
+
+g_single = jax.grad(loss)(w, x)
+
+with mesh:
+    w_r = replicate(w, mesh)
+    x_s = shard_batch(x, mesh)
+    g_dp = jax.jit(jax.grad(loss))(w_r, x_s)
+
+np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_single), rtol=1e-6)
+print("dp-grads-match")
+"""
+    )
+    assert "dp-grads-match" in out
