@@ -39,7 +39,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from osu_dreamer_tpu.audio import HOP_LEN, SR, make_spec
+    from osu_dreamer_tpu.audio import HOP_LEN, SR, make_spec_for_model
     from osu_dreamer_tpu.models.inference import LDM, LDMArgs
 
     log(f"devices: {jax.devices()}")
@@ -59,11 +59,8 @@ def main() -> None:
     chunk = args.latent.chunk_size
 
     def featurize(w):
-        spec = make_spec(w)  # (F, L)
-        L = spec.shape[1]
-        pad = (chunk - L % chunk) % chunk
-        spec_t = np.pad(spec.T, ((0, pad), (0, 0)), mode="edge")  # (Lp, F)
-        return jnp.asarray(spec_t[None], jnp.float32)
+        # device-resident: one wave upload, no spec round trip
+        return make_spec_for_model(w, chunk)
 
     spec = featurize(wave)
     log(f"spec: {spec.shape}")
@@ -79,20 +76,21 @@ def main() -> None:
         lambda p, sp, lb, k: model.apply(p, sp, lb, k, NUM_STEPS),
     )
 
-    # warmup / compile
+    # warmup / compile. NOTE: block_until_ready does not fully synchronize on
+    # the tunneled backend — fetch a scalar to force execution end-to-end.
     t0 = time.time()
     chart, out_labels = sample(params, spec, labels, key)
-    jax.block_until_ready(chart)
+    float(chart[0, 0, 0])
     log(f"compile+first run: {time.time() - t0:.1f}s; chart {chart.shape}")
 
     # timed runs (featurizer + full pipeline)
     times = []
-    for i in range(3):
+    for i in range(5):
         k = jax.random.PRNGKey(i + 1)
         t0 = time.time()
         spec_i = featurize(wave)
         chart, out_labels = sample(params, spec_i, labels, k)
-        jax.block_until_ready(chart)
+        float(chart[0, 0, 0])
         times.append(time.time() - t0)
     per_map = float(np.median(times))
     maps_per_min = 60.0 / per_map

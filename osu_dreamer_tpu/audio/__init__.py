@@ -24,7 +24,7 @@ from .constants import (
 )
 from .decode import load_wave
 from .io import read_spec, write_spec
-from .spectrogram import make_spec, make_spec_jax
+from .spectrogram import make_spec, make_spec_for_model, make_spec_jax
 
 __all__ = [
     "A_DIM",
@@ -41,6 +41,7 @@ __all__ = [
     "get_frame_times",
     "load_wave",
     "make_spec",
+    "make_spec_for_model",
     "make_spec_jax",
     "read_spec",
     "write_spec",

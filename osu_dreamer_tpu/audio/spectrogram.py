@@ -135,6 +135,38 @@ def make_spec(wave: np.ndarray) -> np.ndarray:
     return np.asarray(spec[:, :n_frames])
 
 
+@partial(jax.jit, static_argnames=("n_frames", "real_frames", "out_frames"))
+def _spec_for_model(wave_i16: jax.Array, n_frames: int, real_frames: int, out_frames: int):
+    wave = wave_i16.astype(jnp.float32) / 32767.0
+    states = _resonate_frames(wave, n_frames)
+    power = states[..., 0] ** 2 + states[..., 1] ** 2  # (K, F)
+    sig = _normalize_power(power[:real_frames])
+    # edge-replicate to the model's chunk-aligned length, still on device
+    idx = jnp.minimum(jnp.arange(out_frames), real_frames - 1)
+    return sig[idx][None]  # (1, out_frames, F)
+
+
+def make_spec_for_model(wave: np.ndarray, chunk: int) -> jax.Array:
+    """device-resident featurize for inference: one host->device upload of
+    the (bucket-padded) wave; returns the chunk-aligned (1, Lp, F) spec as a
+    device array that feeds the model directly (no host round trip).
+
+    The wave travels as int16 (audio sources are 16-bit; 96 dB SNR is far
+    beyond the 60 dB display window) — host links are the E2E bottleneck and
+    this halves the bytes."""
+    n = len(wave)
+    real_frames = max(1, int(np.ceil(n / HOP_LEN)))
+    padded_len = int(np.ceil(max(n, 1) / WAVE_BUCKET)) * WAVE_BUCKET
+    peak = float(np.abs(wave).max()) if n else 0.0
+    scale = 32767.0 / max(peak, 1.0)  # headroom: only scale DOWN if clipping
+    buf = np.zeros(padded_len, dtype=np.int16)
+    buf[:n] = np.round(wave * min(scale, 32767.0)).astype(np.int16)
+    out_frames = -(-real_frames // chunk) * chunk
+    return _spec_for_model(
+        jnp.asarray(buf), padded_len // HOP_LEN, real_frames, out_frames
+    )
+
+
 def resonate_reference(wave: np.ndarray, hop: int = HOP_LEN) -> np.ndarray:
     """exact sequential-IIR evaluation of the same resonator bank (host,
     O(N*F)); ground truth for validating the matmul+scan formulation"""

@@ -186,8 +186,7 @@ def predict(model_path, audio_file, diff, sample_steps, title, artist, seed):
     import jax.numpy as jnp
     import numpy as np
 
-    from osu_dreamer_tpu.audio import load_wave, make_spec
-    from osu_dreamer_tpu.data import pad_to_multiple
+    from osu_dreamer_tpu.audio import HOP_LEN, load_wave, make_spec_for_model
     from osu_dreamer_tpu.models.inference import load_inference
     from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
 
@@ -198,10 +197,11 @@ def predict(model_path, audio_file, diff, sample_steps, title, artist, seed):
     model, params = load_inference(model_path)
 
     click.echo("featurizing audio...")
-    spec = make_spec(load_wave(audio_file))  # (F, L)
-    L = spec.shape[1]
+    wave = load_wave(audio_file)
+    L = max(1, -(-len(wave) // HOP_LEN))
     chunk = model.args.latent.chunk_size
-    spec_padded = jnp.asarray(pad_to_multiple(spec.T.astype(np.float32), chunk))[None]
+    # device-resident featurize: the spec never round-trips to host
+    spec_padded = make_spec_for_model(wave, chunk)
 
     labels = jnp.asarray(diff, jnp.float32)
     key = jax.random.PRNGKey(seed if seed is not None else random.randrange(2**31))
