@@ -21,32 +21,92 @@ from .norm import RMSNorm, rms_norm
 zeros_init = nn.initializers.zeros
 
 
+def _pallas_swiglu_default() -> bool:
+    """auto policy: use the fused Pallas kernel on TPU backends unless
+    ODT_FUSED_SWIGLU overrides (0/1)"""
+    import os
+
+    override = os.environ.get("ODT_FUSED_SWIGLU")
+    if override is not None:
+        return override not in ("0", "false", "")
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class SwiGLU(nn.Module):
-    """depthwise-conv gated FFN: x -> dwconv -> [v|g] -> v*silu(g) -> norm -> out"""
+    """depthwise-conv gated FFN: x -> dwconv -> [v|g] -> v*silu(g) -> norm -> out.
+
+    Owns its parameters directly so the same param tree serves both the
+    reference XLA path and the fused Pallas TPU kernel (ops/swiglu.py);
+    ``fused=None`` auto-selects by backend."""
 
     dim: int
     expand: int = 2
     radius: int = 1
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    fused: bool | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         h_dim = int(self.dim * self.expand * 2 / 3)
+        K = 1 + 2 * self.radius
+        lecun = nn.initializers.lecun_normal()
+
+        dw_kernel = dw_bias = None
         if self.radius > 0:
-            x = nn.Conv(
-                self.dim,
-                kernel_size=(1 + 2 * self.radius,),
-                feature_group_count=self.dim,
-                dtype=self.dtype,
-                name="dw",
-            )(x)
-        vg = nn.Dense(2 * h_dim, dtype=self.dtype, name="vg")(x)
+            dw_kernel = self.param("dw_kernel", lecun, (K, self.dim), jnp.float32)
+            dw_bias = self.param("dw_bias", zeros_init, (self.dim,), jnp.float32)
+        vg_kernel = self.param("vg_kernel", lecun, (self.dim, 2 * h_dim), jnp.float32)
+        vg_bias = self.param("vg_bias", zeros_init, (2 * h_dim,), jnp.float32)
+        out_kernel = self.param("out_kernel", lecun, (h_dim, self.dim), jnp.float32)
+        out_bias = self.param("out_bias", zeros_init, (self.dim,), jnp.float32)
+
+        use_fused = self.fused if self.fused is not None else _pallas_swiglu_default()
+        if self.fused is None and use_fused:
+            # heuristics measured on v5e (see tests/test_ops.py + ops/swiglu.py):
+            # the kernel wins when the grid has enough programs to pipeline
+            # DMA against compute, and lane-aligned channels avoid padding
+            from osu_dreamer_tpu.ops.swiglu import DEFAULT_TILE
+
+            B, L, C = x.shape
+            programs = B * -(-L // DEFAULT_TILE)
+            use_fused = programs >= 8 and C % 128 == 0
+        use_dropout = self.dropout > 0 and train
+        if use_fused and self.radius > 0 and not use_dropout:
+            from osu_dreamer_tpu.ops import fused_swiglu
+
+            return fused_swiglu(
+                x.astype(self.dtype), dw_kernel, dw_bias,
+                vg_kernel, vg_bias, out_kernel, out_bias,
+            )
+
+        from osu_dreamer_tpu.ops import swiglu_reference
+
+        if not use_dropout:
+            return swiglu_reference(
+                x.astype(self.dtype), dw_kernel, dw_bias,
+                vg_kernel, vg_bias, out_kernel, out_bias,
+            )
+
+        # dropout sits between the norm and the out projection (reference
+        # common/swiglu.py ordering), so inline the stages here
+        x = x.astype(self.dtype)
+        if dw_kernel is not None:
+            xp = jnp.pad(x, ((0, 0), (self.radius, self.radius), (0, 0)))
+            x = sum(
+                xp[:, k : k + x.shape[1], :] * dw_kernel[k].astype(x.dtype)
+                for k in range(K)
+            ) + dw_bias.astype(x.dtype)
+        vg = x @ vg_kernel.astype(x.dtype) + vg_bias.astype(x.dtype)
         v, g = jnp.split(vg, 2, axis=-1)
         h = rms_norm(v * nn.silu(g))
-        if self.dropout > 0:
-            h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.Dense(self.dim, dtype=self.dtype, name="out")(h)
+        h = nn.Dropout(self.dropout, deterministic=False)(h)
+        return h @ out_kernel.astype(h.dtype) + out_bias.astype(h.dtype)
 
 
 class FilmStack(nn.Module):
