@@ -1,0 +1,188 @@
+"""Training infrastructure: checkpoints, artifact, configs, pipelines."""
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osu_dreamer_tpu.utils import dataclass_from_dict
+
+
+class TestConfig:
+    def test_nested_dataclasses(self):
+        @dataclass
+        class Inner:
+            a: int = 1
+            b: float = 2.0
+
+        @dataclass
+        class Outer:
+            name: str = "x"
+            inner: Inner = field(default_factory=Inner)
+
+        out = dataclass_from_dict(Outer, {"name": "y", "inner": {"a": 5}})
+        assert out.name == "y" and out.inner.a == 5 and out.inner.b == 2.0
+
+    def test_unknown_key_raises(self):
+        @dataclass
+        class C:
+            a: int = 0
+
+        with pytest.raises(KeyError):
+            dataclass_from_dict(C, {"nope": 1})
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        import optax
+
+        from osu_dreamer_tpu.train.checkpoint import (
+            load_train_checkpoint,
+            restore_train_state,
+            save_train_checkpoint,
+        )
+        from osu_dreamer_tpu.train.state import create_train_state
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+        tx = optax.adam(1e-3)
+        state = create_train_state(params, tx, jax.random.PRNGKey(0), with_ema=True)
+        state = state.replace(step=jnp.asarray(17, jnp.int32))
+
+        path = tmp_path / "ckpt"
+        save_train_checkpoint(path, state, {"model": {"dim": 3}}, metric=0.5)
+
+        # full-state restore (resume path)
+        template = create_train_state(
+            jax.tree.map(jnp.zeros_like, params), tx, jax.random.PRNGKey(1), with_ema=True
+        )
+        restored = restore_train_state(path, template)
+        assert int(restored.step) == 17
+        np.testing.assert_array_equal(np.asarray(restored.params["w"]), np.arange(6).reshape(2, 3))
+
+        # params-only load (export path)
+        loaded = load_train_checkpoint(path)
+        assert loaded.hparams == {"model": {"dim": 3}}
+        assert loaded.metric == 0.5
+        np.testing.assert_array_equal(np.asarray(loaded.ema_params["w"]), np.arange(6).reshape(2, 3))
+
+    def test_best_keeper(self, tmp_path):
+        import optax
+
+        from osu_dreamer_tpu.train.checkpoint import BestCheckpointKeeper
+        from osu_dreamer_tpu.train.state import create_train_state
+
+        tx = optax.adam(1e-3)
+        state = create_train_state({"w": jnp.ones(2)}, tx, jax.random.PRNGKey(0))
+        keeper = BestCheckpointKeeper(tmp_path, monitor="val/loss", mode="min")
+
+        assert keeper.update(state, {}, {"val/loss": 1.0})
+        assert not keeper.update(state, {}, {"val/loss": 2.0})  # worse
+        assert keeper.update(state, {}, {"val/loss": 0.5})      # better
+        assert keeper.best_metric == 0.5
+        assert (tmp_path / "best").exists() and (tmp_path / "last").exists()
+
+        # metric survives reconstruction (resume)
+        keeper2 = BestCheckpointKeeper(tmp_path, monitor="val/loss", mode="min")
+        assert keeper2.best_metric == 0.5
+
+
+class TestArtifact:
+    def test_roundtrip(self, tmp_path):
+        from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+        from osu_dreamer_tpu.models.diffusion.model import BackboneArgs
+        from osu_dreamer_tpu.models.inference import LDMArgs, load_inference
+        from osu_dreamer_tpu.models.inference.artifact import build_artifact_bytes
+        from osu_dreamer_tpu.models.latent import LatentModelArgs
+        from osu_dreamer_tpu.models.latent.model import StackArgs
+        from osu_dreamer_tpu.models.style import StyleModelArgs
+
+        hparams = LDMArgs(
+            latent=LatentModelArgs(
+                emb_dim=4, style_dim=8, n_downs=1, stride=3, h_dim=16,
+                stack=StackArgs(n_layers=1, expand=2, radius=1),
+                style_head_dim=8, style_heads=2,
+            ),
+            style=StyleModelArgs(style_dim=8, label_features=16, h_dim=16, depth=1),
+            diffusion=DiffusionModelArgs(
+                emb_dim=4, a_dim=16, style_dim=8, global_cond_dim=16,
+                backbone_dim=16, u_head_dim=8,
+                backbone=BackboneArgs(depth=1, expand=2, head_dim=8, n_heads=2),
+            ),
+        )
+        params = {"params": {"latent": {"w": np.ones((2, 2), np.float32)},
+                             "style": {"w": np.zeros(3, np.float32)},
+                             "diffusion": {"w": np.arange(4, dtype=np.float32)}}}
+        path = tmp_path / "a.odt"
+        path.write_bytes(build_artifact_bytes(hparams, params))
+
+        model, restored = load_inference(path)
+        assert model.args.latent.h_dim == 16
+        assert model.args.diffusion.backbone.depth == 1
+        np.testing.assert_array_equal(
+            restored["params"]["diffusion"]["w"], np.arange(4, dtype=np.float32)
+        )
+
+
+class TestPipeline:
+    def test_batched_and_prefetch(self):
+        from osu_dreamer_tpu.data import batched, prefetch
+        from osu_dreamer_tpu.data.pipeline import SignalSample
+
+        stream = (
+            SignalSample(np.full((4, 2), i), np.full((4, 3), i), np.full(5, i))
+            for i in range(7)
+        )
+        batches = list(prefetch(batched(stream, 2)))
+        assert len(batches) == 3  # drop_last
+        assert batches[0].audio.shape == (2, 4, 2)
+        assert batches[2].labels[1][0] == 5
+
+    def test_prefetch_propagates_errors(self):
+        from osu_dreamer_tpu.data import prefetch
+
+        def bad():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch(bad())
+        assert next(it) == 1
+        with pytest.raises(ValueError):
+            list(it)
+
+    def test_window_starts_cover_and_cap(self):
+        import random
+
+        from osu_dreamer_tpu.data.pipeline import _window_starts
+
+        rng = random.Random(0)
+        starts = _window_starts(100, 30, -1, rng)
+        assert all(0 <= s <= 70 for s in starts)
+        # non-overlapping
+        s = sorted(starts)
+        assert all(b - a >= 30 for a, b in zip(s, s[1:]))
+        capped = _window_starts(1000, 10, 3, rng)
+        assert len(capped) == 3
+
+    def test_pad_to_multiple(self):
+        from osu_dreamer_tpu.data import pad_to_multiple
+
+        x = np.arange(10, dtype=float).reshape(5, 2)
+        padded = pad_to_multiple(x, 4)
+        assert padded.shape == (8, 2)
+        np.testing.assert_array_equal(padded[5:], np.tile(x[-1], (3, 1)))
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        from osu_dreamer_tpu.train.profiling import StepTimer
+
+        t = StepTimer(skip_first=1)
+        for _ in range(5):
+            t.tick()
+        summary = t.summary()
+        assert summary["steps_per_sec"] > 0
+        assert summary["step_time_p95_s"] >= summary["step_time_p50_s"]
