@@ -96,6 +96,30 @@ def main() -> None:
     maps_per_min = 60.0 / per_map
     log(f"per-map: {times} -> median {per_map:.3f}s = {maps_per_min:.1f} maps/min")
 
+    # secondary metrics (stderr only; the driver consumes the single JSON line)
+    h_shape = (1, spec.shape[1] // args.latent.chunk_size, args.diffusion.a_dim)
+    h = jnp.zeros(h_shape, jnp.float32)
+    s = jnp.zeros((1, args.diffusion.style_dim), jnp.float32)
+
+    from osu_dreamer_tpu.models.diffusion import DiffusionModel
+
+    diff_sample = jax.jit(
+        lambda p, h, s, k: model.apply(
+            p, h, s, k, NUM_STEPS,
+            method=lambda m, h, s, k, n: m.diffusion.sample(h, s, k, n),
+        )
+    )
+    z = diff_sample(params, h, s, key)
+    float(z[0, 0, 0])
+    t0 = time.time()
+    for i in range(5):
+        z = diff_sample(params, h, s, jax.random.PRNGKey(i))
+        float(z[0, 0, 0])
+    dt = (time.time() - t0) / 5
+    log(f"denoiser: {NUM_STEPS + 1} net passes in {dt * 1000:.1f} ms = "
+        f"{(NUM_STEPS + 1) / dt:.0f} steps/sec at l={h_shape[1]}")
+    log(f"E2E predict latency (sans host serialize): {per_map * 1000:.0f} ms")
+
     print(
         json.dumps(
             {

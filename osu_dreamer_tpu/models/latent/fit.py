@@ -168,7 +168,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             **{f"eval/{k}": float(np.mean(v)) for k, v in per_map.items()},
         }
 
-    def on_validation(state: TrainState, step: int) -> None:
+    def on_validation(state: TrainState, step: int, logger) -> None:
         # reconstruction figure for the first val map (reference plot_val)
         try:
             sample = next(signal_windows(val_sets, None, flip_augment=False))
@@ -186,12 +186,9 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         z_up = np.repeat(np.asarray(z[0], np.float32), model_args.chunk_size, axis=0)[:L].T
 
         from osu_dreamer_tpu.data.plot import plot_signals
-        from osu_dreamer_tpu.train.logging import MetricsLogger
 
-        logger = MetricsLogger(Path(fit_args.run_dir) / "tb")
         with plot_signals(sample.audio.T, [x, p, x - p, z_up]) as fig:
             logger.figure("samples", fig, step)
-        logger.close()
 
     stage = Stage(
         name="latent",

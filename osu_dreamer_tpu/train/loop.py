@@ -46,7 +46,8 @@ class Stage:
     train_step: Callable[[TrainState, Any], tuple[TrainState, dict]]
     train_stream: Callable[[int], Iterable]   # epoch -> batch iterable
     validate: Optional[Callable[[TrainState], dict[str, float]]] = None
-    on_validation: Optional[Callable[[TrainState, int], None]] = None  # e.g. plots
+    # (state, step, logger) -> None; e.g. validation figures
+    on_validation: Optional[Callable[[TrainState, int, MetricsLogger], None]] = None
 
 
 def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> TrainState:
@@ -93,7 +94,7 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
                 val_metrics = stage.validate(state)
                 logger.scalars(val_metrics, int(state.step))
             if stage.on_validation is not None:
-                stage.on_validation(state, int(state.step))
+                stage.on_validation(state, int(state.step), logger)
 
             improved = keeper.update(state, stage.hparams, val_metrics)
             logger.flush()
