@@ -135,12 +135,21 @@ def make_spec(wave: np.ndarray) -> np.ndarray:
     return np.asarray(spec[:, :n_frames])
 
 
-@partial(jax.jit, static_argnames=("n_frames", "real_frames", "out_frames"))
-def _spec_for_model(wave_i16: jax.Array, n_frames: int, real_frames: int, out_frames: int):
+@partial(jax.jit, static_argnames=("n_frames", "out_frames"))
+def _spec_for_model(wave_i16: jax.Array, real_frames: jax.Array, n_frames: int, out_frames: int):
+    """real_frames is a TRACED scalar so compiles depend only on the wave
+    bucket, not the exact song length (one compile per ~6 s size class)"""
     wave = wave_i16.astype(jnp.float32) / 32767.0
     states = _resonate_frames(wave, n_frames)
     power = states[..., 0] ** 2 + states[..., 1] ** 2  # (K, F)
-    sig = _normalize_power(power[:real_frames])
+
+    # top-60dB normalization over the REAL frames only (masked max)
+    valid = (jnp.arange(n_frames) < real_frames)[:, None]
+    sig = jnp.maximum(power, 1e-10)
+    sig = jnp.log10(sig)
+    peak = jnp.max(jnp.where(valid, sig, -jnp.inf))
+    sig = jnp.clip((15.0 * (sig - peak) + 60.0) / 60.0, 0.0, 1.0)
+
     # edge-replicate to the model's chunk-aligned length, still on device
     idx = jnp.minimum(jnp.arange(out_frames), real_frames - 1)
     return sig[idx][None]  # (1, out_frames, F)
@@ -161,10 +170,11 @@ def make_spec_for_model(wave: np.ndarray, chunk: int) -> jax.Array:
     scale = 32767.0 / max(peak, 1.0)  # headroom: only scale DOWN if clipping
     buf = np.zeros(padded_len, dtype=np.int16)
     buf[:n] = np.round(wave * min(scale, 32767.0)).astype(np.int16)
-    out_frames = -(-real_frames // chunk) * chunk
-    return _spec_for_model(
-        jnp.asarray(buf), padded_len // HOP_LEN, real_frames, out_frames
-    )
+    n_frames = padded_len // HOP_LEN
+    # out length depends on the BUCKET, so downstream model compiles are
+    # shared by every song in the same ~6 s size class
+    out_frames = -(-n_frames // chunk) * chunk
+    return _spec_for_model(jnp.asarray(buf), real_frames, n_frames, out_frames)
 
 
 def resonate_reference(wave: np.ndarray, hop: int = HOP_LEN) -> np.ndarray:

@@ -146,3 +146,20 @@ class TestWavDecode:
         spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
         peak_hz = np.argmax(spec) * SR / len(out)
         assert abs(peak_hz - 440) < 5
+
+
+class TestSpecForModel:
+    def test_matches_host_path_and_bucket_semantics(self):
+        from osu_dreamer_tpu.audio import make_spec_for_model
+
+        t = np.arange(SR * 3) / SR
+        w = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+        spec = make_spec(w)  # host path, exact length
+        dev = np.asarray(make_spec_for_model(w, 27))  # device path, bucketed
+
+        real = spec.shape[1]
+        assert dev.shape[1] % 27 == 0 and dev.shape[1] >= real
+        # int16 wave quantization bounds the difference
+        assert np.abs(dev[0, :real] - spec.T).max() < 1e-3
+        # padding region is edge-replicated
+        np.testing.assert_allclose(dev[0, real:], dev[0, real - 1])
