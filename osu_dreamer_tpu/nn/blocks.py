@@ -69,13 +69,15 @@ class SwiGLU(nn.Module):
         use_fused = self.fused if self.fused is not None else _pallas_swiglu_default()
         if self.fused is None and use_fused:
             # heuristics measured on v5e (see tests/test_ops.py + ops/swiglu.py):
-            # the kernel wins when the grid has enough programs to pipeline
-            # DMA against compute, and lane-aligned channels avoid padding
+            # the kernel wins on inference when the grid has enough programs
+            # to pipeline DMA against compute and channels are lane-aligned;
+            # under training its recompute-based backward costs an extra
+            # forward, so the XLA path wins there
             from osu_dreamer_tpu.ops.swiglu import DEFAULT_TILE
 
             B, L, C = x.shape
             programs = B * -(-L // DEFAULT_TILE)
-            use_fused = programs >= 8 and C % 128 == 0
+            use_fused = (not train) and programs >= 8 and C % 128 == 0
         use_dropout = self.dropout > 0 and train
         if use_fused and self.radius > 0 and not use_dropout:
             from osu_dreamer_tpu.ops import fused_swiglu
