@@ -172,45 +172,66 @@ def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, 
 
 @click.command("predict")
 @click.option("--model-path", type=file_opt, required=True, help="inference artifact")
-@click.option("--audio-file", type=file_opt, required=True, help="audio file to map")
+@click.option("--audio-file", "audio_files", type=file_opt, required=True, multiple=True, help="audio file(s) to map; repeatable for bulk generation")
 @click.option("--diff", type=(float, float, float, float, float), multiple=True, help="difficulty conditioning (sr, ar, od, cs, hp); repeatable")
 @click.option("--sample-steps", type=int, default=8, help="number of diffusion steps")
-@click.option("--title", type=str, help="song title (read from audio tags when omitted)")
-@click.option("--artist", type=str, help="song artist (read from audio tags when omitted)")
+@click.option("--title", type=str, help="song title (read from audio tags when omitted; single audio file only)")
+@click.option("--artist", type=str, help="song artist (read from audio tags when omitted; single audio file only)")
 @click.option("--seed", type=int, default=None, help="sampling seed (default: random)")
-def predict(model_path, audio_file, diff, sample_steps, title, artist, seed):
-    """generate osu!std beatmaps from raw audio -> an .osz mapset"""
-    from zipfile import ZipFile
+def predict(model_path, audio_files, diff, sample_steps, title, artist, seed):
+    """generate osu!std beatmaps from raw audio -> one .osz mapset per song.
 
+    Bulk mode (repeated --audio-file): songs in the same ~6 s length class
+    share one compiled pipeline, and host-side .osu serialization of song k
+    overlaps the device sampling of song k+1."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from osu_dreamer_tpu.audio import HOP_LEN, load_wave, make_spec_for_model
     from osu_dreamer_tpu.models.inference import load_inference
-    from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
+    from osu_dreamer_tpu.signal import MapMetadata
 
-    title, artist = _resolve_metadata(audio_file, title, artist)
+    if len(audio_files) > 1 and (title or artist):
+        raise click.ClickException("--title/--artist only apply to a single audio file")
     if not diff:
         diff = ((5.0, 9.0, 8.0, 4.0, 6.0),)
 
     model, params = load_inference(model_path)
-
-    click.echo("featurizing audio...")
-    wave = load_wave(audio_file)
-    L = max(1, -(-len(wave) // HOP_LEN))
     chunk = model.args.latent.chunk_size
-    # device-resident featurize: the spec never round-trips to host
-    spec_padded = make_spec_for_model(wave, chunk)
-
     labels = jnp.asarray(diff, jnp.float32)
-    key = jax.random.PRNGKey(seed if seed is not None else random.randrange(2**31))
+    base_seed = seed if seed is not None else random.randrange(2**31)
 
-    click.echo(f"sampling {labels.shape[0]} difficulties at {sample_steps} steps...")
     sample = jax.jit(lambda p, sp, lb, k: model.apply(p, sp, lb, k, sample_steps))
-    chart, pred_labels = sample(params, spec_padded, labels, key)
+
+    pending = None  # (audio_file, title, artist, L, chart, pred_labels)
+    for i, audio_file in enumerate(audio_files):
+        song_title, song_artist = _resolve_metadata(audio_file, title, artist)
+        click.echo(f"[{i + 1}/{len(audio_files)}] {audio_file.name}: featurizing...")
+        wave = load_wave(audio_file)
+        L = max(1, -(-len(wave) // HOP_LEN))
+        spec = make_spec_for_model(wave, chunk)
+
+        click.echo(f"  sampling {labels.shape[0]} difficulties at {sample_steps} steps...")
+        chart, pred_labels = sample(params, spec, labels, jax.random.PRNGKey(base_seed + i))
+
+        if pending is not None:
+            _serialize_mapset(*pending)  # overlaps the async device work above
+        pending = (audio_file, song_title, song_artist, L, chart, pred_labels)
+
+    if pending is not None:
+        _serialize_mapset(*pending)
+
+
+def _serialize_mapset(audio_file, title, artist, L, chart, pred_labels) -> None:
+    from zipfile import ZipFile
+
+    import numpy as np
+
+    from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
+
     signals = np.asarray(chart, np.float32)[:, :L].transpose(0, 2, 1)  # (B, X, L)
-    pred_labels = np.asarray(pred_labels, np.float32)
+    label_rows = np.asarray(pred_labels, np.float32)
 
     hex_chars = "0123456789abcdef"
     while True:
@@ -221,8 +242,7 @@ def predict(model_path, audio_file, diff, sample_steps, title, artist, seed):
 
     with ZipFile(mapset, "x") as archive:
         archive.write(audio_file, audio_file.name)
-        for i, (label_row, signal) in enumerate(zip(pred_labels, signals)):
-            click.echo(f"serializing difficulty {i}...")
+        for i, (label_row, signal) in enumerate(zip(label_rows, signals)):
             archive.writestr(
                 f"{artist} - {title} (osu!dreamer-tpu) [version {i}].osu",
                 decode_beatmap(
@@ -231,7 +251,7 @@ def predict(model_path, audio_file, diff, sample_steps, title, artist, seed):
                     signal,
                 ),
             )
-    click.echo(f"wrote {mapset}")
+    click.echo(f"  wrote {mapset}")
 
 
 def _resolve_metadata(audio_file: Path, title: Optional[str], artist: Optional[str]):

@@ -173,6 +173,8 @@ def decode_hit_signal(sig: np.ndarray) -> list[Hit]:
         l_end = int(slide_end[ordinal])
         if l_end == -1:
             num_slides = 0  # sustain without slide: spinner
+        elif l_end <= onset:
+            num_slides = 1  # degenerate (zero-length) slide mark: single slide
         else:
             num_slides = round((s_end - onset) / (l_end - onset))
         hits.append((*base, s_end, num_slides))
