@@ -169,4 +169,7 @@ class TestSpecForModel:
         # padding region is edge-replicated (allclose, not exact: XLA may
         # fuse the normalize into the gather and recompute replicated rows
         # with different instruction-level rounding)
-        np.testing.assert_allclose(dev[0, real:], dev[0, real - 1], atol=1e-5)
+        np.testing.assert_allclose(
+            dev[0, real:], np.broadcast_to(dev[0, real - 1], dev[0, real:].shape),
+            atol=1e-5,
+        )
