@@ -190,7 +190,6 @@ def predict(model_path, audio_files, diff, sample_steps, title, artist, seed):
 
     from osu_dreamer_tpu.audio import HOP_LEN, load_wave, make_spec_for_model
     from osu_dreamer_tpu.models.inference import load_inference
-    from osu_dreamer_tpu.signal import MapMetadata
 
     if len(audio_files) > 1 and (title or artist):
         raise click.ClickException("--title/--artist only apply to a single audio file")
