@@ -83,6 +83,13 @@ def main() -> None:
     float(chart[0, 0, 0])
     log(f"compile+first run: {time.time() - t0:.1f}s; chart {chart.shape}")
 
+    # steady-state warmup (the first few dispatches through the host link
+    # run slow while buffers/relay warm up)
+    for i in range(3):
+        spec_i = featurize(wave)
+        chart, _ = sample(params, spec_i, labels, jax.random.PRNGKey(100 + i))
+        float(chart[0, 0, 0])
+
     # timed runs (featurizer + full pipeline)
     times = []
     for i in range(5):
