@@ -159,11 +159,12 @@ def encode_latents(latent_ckpt_path: Path, data_dir: Path, force: bool):
 @click.option("--denoiser-ckpt-path", type=click.Path(exists=True, path_type=Path), default=Path("runs/denoiser/best"), help="denoiser checkpoint")
 @click.option("--style-ckpt-path", type=click.Path(exists=True, path_type=Path), default=Path("runs/style/best"), help="style checkpoint")
 @click.option("--output-path", type=click.Path(exists=False, dir_okay=False, path_type=Path), default=Path("inference.odt"), help="artifact output path")
-def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, output_path):
+@click.option("--half", is_flag=True, help="store bf16 weights (half the size; inference computes in bf16 anyway)")
+def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, output_path, half):
     """merge the three training checkpoints into one inference artifact"""
     from osu_dreamer_tpu.models.inference import save_inference
 
-    save_inference(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, output_path)
+    save_inference(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, output_path, half=half)
     click.echo(f"wrote {output_path}")
 
 

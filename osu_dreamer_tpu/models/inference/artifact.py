@@ -33,14 +33,30 @@ def build_artifact_bytes(hparams: LDMArgs, ldm_params: Any) -> bytes:
     return serialization.msgpack_serialize(payload)
 
 
+def _to_half(tree: Any) -> Any:
+    """cast fp32 leaves to bf16 (inference computes in bf16 anyway; halves
+    the artifact)"""
+    import jax
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    def cast(x):
+        arr = np.asarray(x)
+        return arr.astype(jnp.bfloat16) if arr.dtype == np.float32 else arr
+
+    return jax.tree.map(cast, tree)
+
+
 def save_inference(
     latent_ckpt_path: str | Path,
     denoiser_ckpt_path: str | Path,
     style_ckpt_path: str | Path,
     output_path: str | Path,
+    half: bool = False,
 ) -> None:
     """merge three training checkpoints (latent live weights, denoiser EMA,
-    style EMA) into a single inference artifact"""
+    style EMA) into a single inference artifact; ``half`` stores bf16"""
     from osu_dreamer_tpu.train.checkpoint import load_train_checkpoint
 
     latent = load_train_checkpoint(latent_ckpt_path)
@@ -64,6 +80,8 @@ def save_inference(
             "style": (style.ema_params or style.params)["params"],
         }
     }
+    if half:
+        ldm_params = _to_half(ldm_params)
 
     with open(output_path, "wb") as f:
         f.write(build_artifact_bytes(hparams, ldm_params))
