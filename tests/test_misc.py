@@ -1,0 +1,71 @@
+"""Odds and ends: validation plots, sampling determinism, native fallback."""
+
+import numpy as np
+import pytest
+
+
+class TestPlot:
+    def test_plot_signals_smoke(self, rng):
+        from osu_dreamer_tpu.data.plot import plot_signals
+
+        audio = rng.random((72, 400)).astype(np.float32)
+        sig_a = rng.random((9, 400)).astype(np.float32)
+        sig_b = rng.random((6, 400)).astype(np.float32)
+        with plot_signals(audio, [sig_a, sig_b]) as fig:
+            assert fig is not None
+            assert len(fig.axes) >= 3
+
+
+class TestSamplingDeterminism:
+    def test_same_seed_same_chart(self):
+        """the full composed pipeline is a pure function of (params, rng)"""
+        import jax
+        import jax.numpy as jnp
+
+        from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+        from osu_dreamer_tpu.models.diffusion.model import BackboneArgs
+        from osu_dreamer_tpu.models.inference import LDM, LDMArgs
+        from osu_dreamer_tpu.models.latent import LatentModelArgs
+        from osu_dreamer_tpu.models.latent.model import StackArgs
+        from osu_dreamer_tpu.models.style import StyleModelArgs
+
+        args = LDMArgs(
+            latent=LatentModelArgs(
+                emb_dim=4, style_dim=8, n_downs=1, stride=3, h_dim=16,
+                stack=StackArgs(n_layers=1, expand=2, radius=1),
+                style_head_dim=8, style_heads=2,
+            ),
+            style=StyleModelArgs(style_dim=8, label_features=16, h_dim=16, depth=1),
+            diffusion=DiffusionModelArgs(
+                emb_dim=4, a_dim=16, style_dim=8, global_cond_dim=16,
+                backbone_dim=16, u_head_dim=8,
+                backbone=BackboneArgs(depth=1, expand=2, head_dim=8, n_heads=2, radius=1),
+            ),
+        )
+        model = LDM(args, dtype=jnp.float32)
+        key = jax.random.PRNGKey(0)
+        spec = jax.random.uniform(key, (1, 9, 72))
+        labels = jnp.ones((2, 5)) * 5.0
+        params = model.init(key, spec, labels, key, 1, 1)
+
+        sample = jax.jit(lambda k: model.apply(params, spec, labels, k, 2, 2))
+        a1, l1 = sample(jax.random.PRNGKey(7))
+        a2, l2 = sample(jax.random.PRNGKey(7))
+        b1, _ = sample(jax.random.PRNGKey(8))
+
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        assert np.abs(np.asarray(a1) - np.asarray(b1)).max() > 0  # seed matters
+
+
+class TestNativeFallback:
+    def test_python_paths_work_without_library(self, sample_osu_text, monkeypatch):
+        """everything keeps working when the C++ library is absent"""
+        from osu_dreamer_tpu import native
+        from osu_dreamer_tpu.osu import Beatmap
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_LIB_PATH", native._LIB_PATH.with_name("missing.so"))
+        assert not native.available()
+
+        bm = Beatmap(sample_osu_text)
+        assert 0.0 < bm.sr < 12.0  # numpy fallback path
