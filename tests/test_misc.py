@@ -69,3 +69,33 @@ class TestNativeFallback:
 
         bm = Beatmap(sample_osu_text)
         assert 0.0 < bm.sr < 12.0  # numpy fallback path
+
+
+class TestCLIWiring:
+    def test_all_seven_commands_help(self):
+        """the CLI surface matches the reference's seven commands"""
+        from click.testing import CliRunner
+
+        from osu_dreamer_tpu.cli import main
+
+        runner = CliRunner()
+        top = runner.invoke(main, ["--help"])
+        assert top.exit_code == 0
+        for cmd in (
+            "generate-data", "fit-latent", "encode-latents", "fit-denoiser",
+            "fit-style", "export-inference", "predict",
+        ):
+            assert cmd in top.output
+            res = runner.invoke(main, [cmd, "--help"])
+            assert res.exit_code == 0, cmd
+
+    def test_compressed_audio_needs_ffmpeg(self, tmp_path):
+        from osu_dreamer_tpu.audio.decode import AudioDecodeError, load_wave
+
+        fake_mp3 = tmp_path / "x.mp3"
+        fake_mp3.write_bytes(b"\xff\xfb" + b"\x00" * 64)
+        import shutil
+
+        if shutil.which("ffmpeg") is None:
+            with pytest.raises(AudioDecodeError, match="ffmpeg"):
+                load_wave(fake_mp3)
