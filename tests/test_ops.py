@@ -91,3 +91,28 @@ class TestSwiGLUModuleDispatch:
             ops_pkg.fused_swiglu = old
 
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+class TestPallasResonator:
+    def test_matches_sequential_iir(self, rng):
+        """the one-pass kernel (MXU contrib + in-kernel prefix scan + carried
+        cross-tile state) equals the exact recurrence"""
+        import jax.numpy as jnp
+
+        from osu_dreamer_tpu.audio.constants import HOP_LEN, N_BINS, SR
+        from osu_dreamer_tpu.audio.spectrogram import resonate_reference
+        from osu_dreamer_tpu.ops.resonator import TILE, resonate_frames_pallas
+
+        n = HOP_LEN * (TILE + 37)  # spans a tile boundary (carry path)
+        wave = rng.normal(size=n).astype(np.float32)
+        K = -(-n // HOP_LEN)
+        padded = np.zeros(K * HOP_LEN, np.float32)
+        padded[:n] = wave
+        frames = jnp.asarray(padded.reshape(K, HOP_LEN))
+
+        got = np.asarray(
+            resonate_frames_pallas(frames, HOP_LEN, N_BINS, SR, interpret=True)
+        )
+        exact = resonate_reference(wave)
+        np.testing.assert_allclose(got[..., 0], exact.real, atol=5e-3)
+        np.testing.assert_allclose(got[..., 1], exact.imag, atol=5e-3)
