@@ -201,6 +201,10 @@ class DiffusionModel(nn.Module):
         """sphere tracing as one lax.scan; eta is calibrated on device from
         the first prediction so the distance contracts geometrically from u0
         to the noise floor sqrt(c0) over the step budget"""
+        assert audio.ndim == 3 and audio.shape[-1] == self.args.a_dim, (
+            f"audio must be (#B, l, {self.args.a_dim}), got {audio.shape}"
+        )
+        assert style.shape[-1] == self.args.style_dim, f"bad style shape {style.shape}"
         B = style.shape[0]
         x0 = jax.random.normal(rng, (B, audio.shape[1], self.args.emb_dim), jnp.float32)
 

@@ -209,6 +209,10 @@ class LatentModel(nn.Module):
 
     def encode_chart(self, chart: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         """(B, L, 9) -> z (B, L/27, E), s (B, S); both per-frame/-map RMS-normalized"""
+        assert chart.ndim == 3 and chart.shape[-1] == X_DIM, f"chart must be (B, L, {X_DIM}), got {chart.shape}"
+        assert chart.shape[1] % self.args.chunk_size == 0, (
+            f"L={chart.shape[1]} must be a multiple of chunk_size={self.args.chunk_size}"
+        )
         _, bottom = self.chart_encoder(self.chart_stem(chart))
         s = rms_norm(self.style_pool(self.style_stack(bottom)))
         z = rms_norm(self.temporal_proj(self.temporal_stack(bottom, s)))
@@ -216,6 +220,10 @@ class LatentModel(nn.Module):
 
     def encode_audio(self, spec: jnp.ndarray) -> tuple[list[jnp.ndarray], jnp.ndarray]:
         """(B, L, 72) -> (skips, h (B, L/27, H))"""
+        assert spec.ndim == 3 and spec.shape[-1] == A_DIM, f"spec must be (B, L, {A_DIM}), got {spec.shape}"
+        assert spec.shape[1] % self.args.chunk_size == 0, (
+            f"L={spec.shape[1]} must be a multiple of chunk_size={self.args.chunk_size}"
+        )
         return self.audio_unet(self.spec_stem(spec))
 
     def decode_logits(

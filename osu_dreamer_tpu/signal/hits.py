@@ -74,6 +74,7 @@ def extents_signal(
 
 def hit_signal(bm: "Beatmap", frame_times: np.ndarray) -> np.ndarray:
     """(7, L) stack: onsets / new combos / first-slide / sustains / 3 hit sounds"""
+    assert frame_times.ndim == 1, f"frame_times must be 1-D, got {frame_times.shape}"
     from osu_dreamer_tpu.osu import Slider, Spinner
 
     objs = bm.hit_objects

@@ -39,6 +39,9 @@ def _hit_sound_bits(whistle: bool, finish: bool, clap: bool) -> int:
 
 def decode_beatmap(meta: MapMetadata, labels: np.ndarray, enc: np.ndarray) -> str:
     """(X_DIM, L) predicted signal + labels -> .osu file contents"""
+    assert enc.ndim == 2 and enc.shape[0] == len(Channel), (
+        f"enc must be ({len(Channel)}, L), got {enc.shape}"
+    )
     assert labels.shape[-1] == NUM_LABELS
     frame_ms = get_frame_times(enc.shape[1]).round().astype(int)
     cursor = enc[[Channel.X, Channel.Y]] * PLAYFIELD
