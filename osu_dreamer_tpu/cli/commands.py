@@ -179,7 +179,8 @@ def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, 
 @click.option("--title", type=str, help="song title (read from audio tags when omitted; single audio file only)")
 @click.option("--artist", type=str, help="song artist (read from audio tags when omitted; single audio file only)")
 @click.option("--seed", type=int, default=None, help="sampling seed (default: random)")
-def predict(model_path, audio_files, diff, sample_steps, title, artist, seed):
+@click.option("--infer-tempo", is_flag=True, help="estimate BPM/offset from the predicted onsets (beyond the reference, which emits a slider-velocity-derived tempo)")
+def predict(model_path, audio_files, diff, sample_steps, title, artist, seed, infer_tempo):
     """generate osu!std beatmaps from raw audio -> one .osz mapset per song.
 
     Bulk mode (repeated --audio-file): songs in the same ~6 s length class
@@ -216,14 +217,14 @@ def predict(model_path, audio_files, diff, sample_steps, title, artist, seed):
         chart, pred_labels = sample(params, spec, labels, jax.random.PRNGKey(base_seed + i))
 
         if pending is not None:
-            _serialize_mapset(*pending)  # overlaps the async device work above
+            _serialize_mapset(*pending, infer_tempo)  # overlaps the async device work above
         pending = (audio_file, song_title, song_artist, L, chart, pred_labels)
 
     if pending is not None:
-        _serialize_mapset(*pending)
+        _serialize_mapset(*pending, infer_tempo)
 
 
-def _serialize_mapset(audio_file, title, artist, L, chart, pred_labels) -> None:
+def _serialize_mapset(audio_file, title, artist, L, chart, pred_labels, infer_tempo=False) -> None:
     from zipfile import ZipFile
 
     import numpy as np
@@ -249,6 +250,7 @@ def _serialize_mapset(audio_file, title, artist, L, chart, pred_labels) -> None:
                     MapMetadata(audio_file.name, title, artist, f"version {i}"),
                     label_row,
                     signal,
+                    infer_tempo=infer_tempo,
                 ),
             )
     click.echo(f"  wrote {mapset}")

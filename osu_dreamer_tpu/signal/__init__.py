@@ -20,6 +20,7 @@ from .encoding import (
 from .hits import decode_hit_signal, hit_signal
 from .cursor import cursor_signal
 from .serialize import MapMetadata, decode_beatmap
+from .tempo import estimate_tempo
 
 __all__ = [
     "CURSOR_DIM",
@@ -33,6 +34,7 @@ __all__ = [
     "cursor_signal",
     "decode_beatmap",
     "decode_hit_signal",
+    "estimate_tempo",
     "get_labels",
     "hit_signal",
     "read_beatmap",

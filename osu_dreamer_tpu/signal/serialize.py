@@ -37,8 +37,14 @@ def _hit_sound_bits(whistle: bool, finish: bool, clap: bool) -> int:
     return (whistle << 1) | (finish << 2) | (clap << 3)
 
 
-def decode_beatmap(meta: MapMetadata, labels: np.ndarray, enc: np.ndarray) -> str:
-    """(X_DIM, L) predicted signal + labels -> .osu file contents"""
+def decode_beatmap(
+    meta: MapMetadata, labels: np.ndarray, enc: np.ndarray, infer_tempo: bool = False
+) -> str:
+    """(X_DIM, L) predicted signal + labels -> .osu file contents.
+
+    ``infer_tempo`` estimates the beat period/phase from the onset envelope
+    (signal/tempo.py) instead of deriving the tempo from slider velocities —
+    capability beyond the reference, which leaves this as a TODO."""
     assert enc.ndim == 2 and enc.shape[0] == len(Channel), (
         f"enc must be ({len(Channel)}, L), got {enc.shape}"
     )
@@ -94,19 +100,25 @@ def decode_beatmap(meta: MapMetadata, labels: np.ndarray, enc: np.ndarray) -> st
         slider_times.append(t)
         slider_vels.append(length * num_slides / (end_t - t))
 
-    # one global tempo chosen so slider SVs cluster around 1:
-    # slide time = length / (slider_mult * 100 * SV) * beat_len with
-    # slider_mult = 1 => SV = vel * beat_len / 100; pick beat_len so the
-    # geometric mid of observed velocities maps to SV = 1
-    if slider_vels:
-        base_vel = float(np.sqrt(min(slider_vels) * max(slider_vels)))
-    else:
-        base_vel = 1.0
-    beat_len = 100.0 / base_vel
+    if infer_tempo:
+        from .tempo import estimate_tempo
 
-    timing_lines = [f"0,{beat_len},4,0,0,50,1,0"]
+        beat_len, offset = estimate_tempo(enc[Channel.ONSET], get_frame_times(enc.shape[1]))
+        timing_lines = [f"{offset:.0f},{beat_len},4,0,0,50,1,0"]
+    else:
+        # one global tempo chosen so slider SVs cluster around 1:
+        # slide time = length / (slider_mult * 100 * SV) * beat_len with
+        # slider_mult = 1 => SV = vel * beat_len / 100; pick beat_len so the
+        # geometric mid of observed velocities maps to SV = 1
+        if slider_vels:
+            base_vel = float(np.sqrt(min(slider_vels) * max(slider_vels)))
+        else:
+            base_vel = 1.0
+        beat_len = 100.0 / base_vel
+        timing_lines = [f"0,{beat_len},4,0,0,50,1,0"]
+
     for t, vel in zip(slider_times, slider_vels):
-        sv = vel / base_vel
+        sv = vel * beat_len / 100.0
         if not 0.1 <= sv <= 10.0:
             warnings.warn(f"slider SV {sv:.3f} outside [0.1, 10]; slider may render wrong")
         timing_lines.append(f"{t},{-100.0 / sv},4,0,0,50,0,0")

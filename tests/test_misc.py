@@ -99,3 +99,55 @@ class TestCLIWiring:
         if shutil.which("ffmpeg") is None:
             with pytest.raises(AudioDecodeError, match="ffmpeg"):
                 load_wave(fake_mp3)
+
+
+class TestTempoInference:
+    def test_recovers_known_bpm(self):
+        from osu_dreamer_tpu.audio import get_frame_times
+        from osu_dreamer_tpu.signal.hits import events_signal
+        from osu_dreamer_tpu.signal.tempo import estimate_tempo
+
+        ft = get_frame_times(10000)  # ~60 s
+        beat_ms = 60000.0 / 172.0  # 172 BPM
+        rng = np.random.default_rng(0)
+        # onsets on ~70% of beats + some half-beats, starting at 1300 ms
+        ts = []
+        for i in range(160):
+            t = 1300.0 + i * beat_ms
+            if rng.random() < 0.7:
+                ts.append(t)
+            if rng.random() < 0.2:
+                ts.append(t + beat_ms / 2)
+        env = events_signal(ts, ft)
+        beat_len, offset = estimate_tempo(env, ft)
+        bpm = 60000.0 / beat_len
+        # accept the true tempo or its half/double octave (period is
+        # quantized to whole frames: ~1% BPM granularity)
+        assert any(abs(bpm - 172.0 * m) < 4.0 for m in (0.5, 1.0, 2.0)), bpm
+        assert 0.0 <= offset < beat_len
+        # the estimated grid must capture much more onset mass than an
+        # anti-phase grid
+        fms = ft[1] - ft[0]
+        grid = np.arange(offset / fms, len(env), beat_len / fms).astype(int)
+        anti = np.minimum(grid + int(beat_len / fms / 2), len(env) - 1)
+        assert env[grid].mean() > 3.0 * env[anti].mean()
+
+    def test_decode_beatmap_with_tempo(self, sample_osu_text):
+        from osu_dreamer_tpu.audio import get_frame_for_time, get_frame_times
+        from osu_dreamer_tpu.osu import Beatmap
+        from osu_dreamer_tpu.signal import (
+            MapMetadata,
+            cursor_signal,
+            decode_beatmap,
+            get_labels,
+            hit_signal,
+        )
+
+        bm = Beatmap(sample_osu_text)
+        end = max(o.end_time() for o in bm.hit_objects) + 1000
+        ft = get_frame_times(get_frame_for_time(end))
+        enc = np.concatenate([hit_signal(bm, ft), cursor_signal(bm, ft)])
+        text = decode_beatmap(MapMetadata("a.mp3", "T", "A"), get_labels(bm), enc, infer_tempo=True)
+        rec = Beatmap(text)
+        assert len(rec.timing_points) >= 1
+        assert 60000.0 / 300.0 <= rec.timing_points[0].beat_length <= 60000.0 / 60.0
