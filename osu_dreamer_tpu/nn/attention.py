@@ -17,6 +17,12 @@ from flax import linen as nn
 from .norm import rms_norm
 
 
+def _use_fused_attention() -> bool:
+    import os
+
+    return os.environ.get("OSU_DREAMER_FUSED_ATTN", "0") == "1"
+
+
 def rope(x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
     """rotary position embedding over (B, L, H, D) with even D; `offset`
     shifts positions (used by sequence-parallel shards to index globally)"""
@@ -52,6 +58,22 @@ class RoPEAttention(nn.Module):
         H, D = self.n_heads, self.head_dim
 
         qkv = nn.Dense(3 * H * D, dtype=self.dtype, name="qkv")(x)
+
+        q_gamma = self.param("q_gamma", nn.initializers.ones, (D,), jnp.float32)
+        k_gamma = self.param("k_gamma", nn.initializers.ones, (D,), jnp.float32)
+
+        # kernel constraints: packed q/k/v feature blocks must be lane-tile
+        # (128) aligned, rotary halves need even D, VMEM caps the length
+        fusable = (H * D) % 128 == 0 and D % 2 == 0 and L <= 2048
+        if self.seq_axis is None and _use_fused_attention() and fusable:
+            # opt-in Pallas megakernel (norm+rope+attention in one VMEM
+            # pass); measured at parity with the XLA path for the default
+            # shapes — see ops/attention.py for the verdict
+            from osu_dreamer_tpu.ops import fused_rope_attention
+
+            y = fused_rope_attention(qkv, q_gamma, k_gamma, H)
+            return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y)
+
         qkv = qkv.reshape(B, L, 3, H, D)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -59,8 +81,6 @@ class RoPEAttention(nn.Module):
         if self.seq_axis is not None:
             offset = jax.lax.axis_index(self.seq_axis) * L
 
-        q_gamma = self.param("q_gamma", nn.initializers.ones, (D,), jnp.float32)
-        k_gamma = self.param("k_gamma", nn.initializers.ones, (D,), jnp.float32)
         q = rope(rms_norm(q, q_gamma), offset)
         k = rope(rms_norm(k, k_gamma), offset)
 

@@ -1,11 +1,14 @@
 """Pallas TPU kernels for the hot ops."""
 
+from .attention import fused_rope_attention, rope_attention_reference
 from .ring_attention import ring_attention, sequence_parallel_attention
 from .swiglu import fused_swiglu, swiglu_reference
 
 __all__ = [
+    "fused_rope_attention",
     "fused_swiglu",
     "ring_attention",
+    "rope_attention_reference",
     "sequence_parallel_attention",
     "swiglu_reference",
 ]
