@@ -19,6 +19,8 @@ are evaluated in one batch (the reference evaluates point-by-point).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
 
 from .errors import BeatmapParseError
@@ -28,6 +30,15 @@ from .events import Slider, Vec2
 MAX_ARC_RADIUS = 320.0
 # declared-vs-geometric length mismatches below this many px are ignored
 LENGTH_SLACK_PX = 10.0
+
+
+@lru_cache(maxsize=32)
+def _gl_nodes(order: int) -> tuple[np.ndarray, np.ndarray]:
+    """Gauss-Legendre nodes/weights by quadrature order (numpy recomputes
+    these from an eigenproblem every call — the slider MAP fitter evaluates
+    thousands of candidate lengths per map, so cache by order)"""
+    nodes, weights = np.polynomial.legendre.leggauss(order)
+    return 0.5 * (nodes + 1.0), weights
 
 
 class BezierPath:
@@ -61,8 +72,7 @@ class BezierPath:
                 self._length = 0.0
             else:
                 order = max(8, int(4 * np.ceil(np.sqrt(self.n_ctrl))))
-                nodes, weights = np.polynomial.legendre.leggauss(order)
-                t = 0.5 * (nodes + 1.0)
+                t, weights = _gl_nodes(order)
                 speed = np.linalg.norm(self.derivative().at(t), axis=1)
                 self._length = float(0.5 * np.dot(weights, speed))
         return self._length

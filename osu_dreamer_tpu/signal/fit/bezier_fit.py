@@ -9,6 +9,7 @@ curve parameter.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -24,18 +25,22 @@ def bernstein_basis(t: np.ndarray, n_ctrl: int) -> np.ndarray:
     return comb(d, i) * t[:, None] ** i * (1.0 - t[:, None]) ** (d - i)
 
 
-def fit_segment(
-    points: np.ndarray,
-    n_ctrl: int,
-    pin_start: bool = False,
-    pin_end: bool = False,
-) -> tuple[BezierPath, float]:
-    """least-squares bezier through `points` (L, 2); pinned endpoints are
-    clamped to the data endpoints (keeps adjacent poly-segments joined).
-    returns (curve, sum of squared residuals)"""
+@lru_cache(maxsize=4096)
+def _basis_uniform(L: int, n_ctrl: int) -> np.ndarray:
+    """Bernstein basis on the uniform L-point parameter grid. The MAP fitter
+    evaluates thousands of (span length, degree) candidates per map, with
+    heavy repetition — cache the (tiny) matrices"""
+    b = bernstein_basis(np.linspace(0.0, 1.0, L), n_ctrl)
+    b.setflags(write=False)
+    return b
+
+
+def _fit_segment_resid(
+    points: np.ndarray, n_ctrl: int, pin_start: bool, pin_end: bool
+) -> tuple[BezierPath, np.ndarray]:
+    """core fit; returns (curve, per-point residual vectors (L, 2))"""
     L = points.shape[0]
-    t = np.linspace(0.0, 1.0, L)
-    T = bernstein_basis(t, n_ctrl)
+    T = _basis_uniform(L, n_ctrl)
 
     ctrl = np.zeros((n_ctrl, 2))
     free = np.ones(n_ctrl, dtype=bool)
@@ -47,12 +52,30 @@ def fit_segment(
         ctrl[-1] = points[-1]
 
     # move pinned columns to the right-hand side, solve for the free ones
+    # via the normal equations (degrees are small, float64 handles the
+    # squared conditioning; fall back to lstsq on a singular system)
+    Tf = T[:, free]
     rhs = points - T[:, ~free] @ ctrl[~free]
-    sol, *_ = np.linalg.lstsq(T[:, free], rhs, rcond=None)
+    try:
+        sol = np.linalg.solve(Tf.T @ Tf, Tf.T @ rhs)
+    except np.linalg.LinAlgError:
+        sol, *_ = np.linalg.lstsq(Tf, rhs, rcond=None)
     ctrl[free] = sol
 
-    resid = T @ ctrl - points
-    return BezierPath(ctrl), float((resid**2).sum())
+    return BezierPath(ctrl), T @ ctrl - points
+
+
+def fit_segment(
+    points: np.ndarray,
+    n_ctrl: int,
+    pin_start: bool = False,
+    pin_end: bool = False,
+) -> tuple[BezierPath, float]:
+    """least-squares bezier through `points` (L, 2); pinned endpoints are
+    clamped to the data endpoints (keeps adjacent poly-segments joined).
+    returns (curve, sum of squared residuals)"""
+    curve, resid = _fit_segment_resid(points, n_ctrl, pin_start, pin_end)
+    return curve, float((resid**2).sum())
 
 
 def fit_poly(
@@ -67,14 +90,14 @@ def fit_poly(
 
     def fit_span(lo: int, hi: int) -> tuple[BezierPath, float, int]:
         span = points[lo : hi + 1]
-        curve, sse = fit_segment(
+        curve, resid = _fit_segment_resid(
             span,
             min(n_ctrl, span.shape[0]),
             pin_start=lo != 0,
             pin_end=hi != L - 1,
         )
-        per_point = ((curve.at(np.linspace(0, 1, span.shape[0])) - span) ** 2).sum(axis=1)
-        return curve, sse, lo + int(per_point.argmax())
+        per_point = (resid**2).sum(axis=1)
+        return curve, float(per_point.sum()), lo + int(per_point.argmax())
 
     spans: list[tuple[int, int]] = [(0, L - 1)]
     fits = [fit_span(0, L - 1)]
