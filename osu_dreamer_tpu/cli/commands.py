@@ -24,15 +24,17 @@ dir_opt = click.Path(file_okay=False, path_type=Path)
 @click.option("--data-dir", type=dir_opt, default=Path("./data"), help="output directory for pre-processed training samples")
 @click.option("--num-workers", type=click.IntRange(min=1), default=2, help="host worker threads for beatmap parsing/encoding")
 @click.option("--force", is_flag=True, help="overwrite existing pre-processed maps")
-def generate_data(data_dir: Path, num_workers: int, force: bool):
-    """generate the training dataset (streams the HF beatmap corpus;
-    spectrograms run on the accelerator, parsing on host workers)"""
+@click.option("--songs-dir", type=click.Path(exists=True, file_okay=False, path_type=Path), help="ingest a local library (.osz archives / osu! Songs folders) instead of streaming the HF corpus")
+def generate_data(data_dir: Path, num_workers: int, force: bool, songs_dir: Optional[Path]):
+    """generate the training dataset (streams the HF beatmap corpus, or a
+    local mapset library with --songs-dir; spectrograms run on the
+    accelerator, parsing on host workers)"""
     from tqdm import tqdm
 
     from osu_dreamer_tpu.data.ingest import build_dataset
 
     with tqdm(unit="sample") as pbar:
-        for _written in build_dataset(data_dir, num_workers, force):
+        for _written in build_dataset(data_dir, num_workers, force, songs_dir):
             pbar.update(1)
 
 

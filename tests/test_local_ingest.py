@@ -1,0 +1,114 @@
+"""Local-library ingest: .osz archives and extracted mapset folders ->
+preprocessed training samples, fully offline (capability beyond the
+reference, whose generate-data requires HF streaming —
+reference data/dataset.py:34-38)."""
+
+import sys
+import zipfile
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent))
+from test_end_to_end import _write_wav, synth_osu  # noqa: E402
+
+from osu_dreamer_tpu.audio import SR, read_spec  # noqa: E402
+from osu_dreamer_tpu.signal import read_beatmap  # noqa: E402
+
+
+def _wav_bytes(tmp_path, seconds=3.0, freq=220.0) -> bytes:
+    p = tmp_path / "_tmp.wav"
+    t = np.arange(int(SR * seconds)) / SR
+    _write_wav(p, (0.5 * np.sin(2 * np.pi * freq * t)).astype(np.float32))
+    data = p.read_bytes()
+    p.unlink()
+    return data
+
+
+def _osu_with_audio(seed: int, audio_name: str) -> str:
+    text = synth_osu(seed)
+    return text.replace("[General]\n", f"[General]\nAudioFilename: {audio_name}\n")
+
+
+def make_library(tmp_path) -> Path:
+    songs = tmp_path / "Songs"
+    songs.mkdir()
+
+    # one .osz with two difficulties sharing one audio
+    osz = songs / "123 Artist - Title.osz"
+    with zipfile.ZipFile(osz, "w") as z:
+        z.writestr("audio.wav", _wav_bytes(tmp_path, freq=220))
+        z.writestr("map [easy].osu", _osu_with_audio(1, "audio.wav"))
+        z.writestr("map [hard].osu", _osu_with_audio(2, "audio.wav"))
+
+    # one extracted mapset folder
+    folder = songs / "456 Other - Song"
+    folder.mkdir()
+    (folder / "track.wav").write_bytes(_wav_bytes(tmp_path, freq=330))
+    (folder / "other [normal].osu").write_text(_osu_with_audio(3, "track.wav"))
+
+    # junk that must be skipped, not crash
+    (songs / "broken.osz").write_bytes(b"this is not a zip")
+    nomatch = songs / "789 No Audio"
+    nomatch.mkdir()
+    (nomatch / "na [x].osu").write_text(_osu_with_audio(4, "missing.mp3"))
+    return songs
+
+
+class TestLocalIngest:
+    def test_iter_local_samples(self, tmp_path):
+        from osu_dreamer_tpu.data.ingest import iter_local_samples
+
+        samples = list(iter_local_samples(make_library(tmp_path)))
+        # .osz (1 audio) + folder (1 audio); the missing-audio set is skipped
+        assert len(samples) == 2
+        osz_sample = next(s for s in samples if len(s["json"]["beatmaps"]) == 2)
+        assert all(b["mode"] == 0 and b["approved"] == 1 for b in osz_sample["json"]["beatmaps"])
+        ids = [b["beatmap_id"] for b in osz_sample["json"]["beatmaps"]]
+        assert len(set(ids)) == 2  # distinct stable ids per difficulty
+
+    def test_build_dataset_local(self, tmp_path):
+        from osu_dreamer_tpu.data.ingest import build_dataset
+
+        songs = make_library(tmp_path)
+        out = tmp_path / "data"
+        counts = list(build_dataset(out, num_workers=2, songs_dir=songs))
+        assert sum(counts) == 3  # two .osz diffs + one folder map
+
+        song_dirs = [d for d in out.iterdir() if d.is_dir()]
+        assert len(song_dirs) == 2
+        for d in song_dirs:
+            with open(d / "spec.npy", "rb") as f:
+                spec = read_spec(f)
+            assert spec.shape[0] == 72 and spec.shape[1] > 100
+            maps = list(d.glob("*.map.npy"))
+            assert maps
+            with open(maps[0], "rb") as f:
+                enc, labels = read_beatmap(f)
+            assert enc.shape[0] == 9 and enc.shape[1] == spec.shape[1]
+            assert labels.shape == (5,)
+
+    def test_cli_generate_data_songs_dir(self, tmp_path):
+        from click.testing import CliRunner
+
+        from osu_dreamer_tpu.cli import main as cli_main
+
+        songs = make_library(tmp_path)
+        out = tmp_path / "cli_data"
+        res = CliRunner().invoke(
+            cli_main,
+            ["generate-data", "--data-dir", str(out), "--songs-dir", str(songs)],
+            catch_exceptions=False,
+        )
+        assert res.exit_code == 0, res.output
+        assert len(list(out.rglob("*.map.npy"))) == 3
+
+        # idempotent second run writes nothing new (mtime-stable)
+        mtimes = {p: p.stat().st_mtime_ns for p in out.rglob("*.npy")}
+        res = CliRunner().invoke(
+            cli_main,
+            ["generate-data", "--data-dir", str(out), "--songs-dir", str(songs)],
+            catch_exceptions=False,
+        )
+        assert res.exit_code == 0
+        assert {p: p.stat().st_mtime_ns for p in out.rglob("*.npy")} == mtimes
