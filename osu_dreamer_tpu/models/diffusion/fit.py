@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from osu_dreamer_tpu.data import batched, hold_out_mapsets, latent_windows, prefetch
+from osu_dreamer_tpu.parallel import auto_data_parallel, replicate, shard_batch
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
 from osu_dreamer_tpu.train.state import TrainState
 from osu_dreamer_tpu.utils import dataclass_from_dict, load_yaml_config
@@ -60,6 +61,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     model, state, train_step = init_diffusion_training(
         model_args, train_args, rng, data_args.seq_len
     )
+    mesh = auto_data_parallel(data_args.batch_size)
 
     def train_stream(epoch: int) -> Iterator[LatentBatch]:
         stream = latent_windows(
@@ -70,7 +72,8 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             seed=fit_args.seed + epoch,
         )
         for b in prefetch(batched(stream, data_args.batch_size)):
-            yield LatentBatch(*(jnp.asarray(x) for x in b))
+            batch = LatentBatch(*(jnp.asarray(x) for x in b))
+            yield shard_batch(batch, mesh) if mesh else batch
 
     val_seg = data_args.seq_len
     vb = train_args.val_batches
@@ -122,5 +125,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         train_step=train_step,
         train_stream=train_stream,
         validate=validate,
+        prepare_state=(lambda s: replicate(s, mesh)) if mesh else None,
     )
     return fit(stage, fit_args, resume_from)

@@ -29,6 +29,7 @@ from osu_dreamer_tpu.data import (
     prefetch,
     signal_windows,
 )
+from osu_dreamer_tpu.parallel import auto_data_parallel, replicate, shard_batch
 from osu_dreamer_tpu.signal import Channel
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
 from osu_dreamer_tpu.train.state import TrainState, make_optimizer
@@ -124,6 +125,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     model, state, train_step = init_latent_training(
         model_args, train_args, rng, data_args.seq_len
     )
+    mesh = auto_data_parallel(data_args.batch_size)
 
     def train_stream(epoch: int) -> Iterator[Batch]:
         stream = signal_windows(
@@ -134,7 +136,8 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             seed=fit_args.seed + epoch,
         )
         for b in prefetch(batched(stream, data_args.batch_size)):
-            yield Batch(*(jnp.asarray(x) for x in b))
+            batch = Batch(*(jnp.asarray(x) for x in b))
+            yield shard_batch(batch, mesh) if mesh else batch
 
     bucket = chunk2 * BUCKET_CHUNKS
     val_fn = make_val_fn(model, bucket)
@@ -198,5 +201,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         train_stream=train_stream,
         validate=validate,
         on_validation=on_validation,
+        prepare_state=(lambda s: replicate(s, mesh)) if mesh else None,
     )
     return fit(stage, fit_args, resume_from)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from osu_dreamer_tpu.data import batched, hold_out_mapsets, latent_windows, prefetch
+from osu_dreamer_tpu.parallel import auto_data_parallel, replicate, shard_batch
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
 from osu_dreamer_tpu.train.state import TrainState
 from osu_dreamer_tpu.utils import dataclass_from_dict, load_yaml_config
@@ -51,6 +52,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
 
     rng = jax.random.PRNGKey(fit_args.seed)
     model, state, train_step_fn = init_style_training(model_args, train_args, rng)
+    mesh = auto_data_parallel(data_args.batch_size)
 
     def train_stream(epoch: int):
         # style codes are per-map: stream full maps, keep (s, labels)
@@ -62,7 +64,8 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             )
         )
         for styles, labels in prefetch(_batched_pairs(stream, data_args.batch_size)):
-            yield jnp.asarray(styles), jnp.asarray(labels)
+            batch = (jnp.asarray(styles), jnp.asarray(labels))
+            yield shard_batch(batch, mesh) if mesh else batch
 
     def train_step(state: TrainState, batch):
         return train_step_fn(state, batch[0], batch[1])
@@ -97,6 +100,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         train_step=train_step,
         train_stream=train_stream,
         validate=validate,
+        prepare_state=(lambda s: replicate(s, mesh)) if mesh else None,
     )
     return fit(stage, fit_args, resume_from)
 

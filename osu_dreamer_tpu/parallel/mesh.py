@@ -38,3 +38,31 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     """replicate a pytree (params / train state) on every device of the mesh"""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def auto_data_parallel(batch_size: int) -> Mesh | None:
+    """the data-parallel mesh the fit loops should train on: all local
+    devices when more than one is visible, trimmed to the largest device
+    count that divides the batch size (None = single device, no mesh).
+
+    This is what turns ``fit-latent``/``fit-denoiser``/``fit-style`` into
+    multi-chip runs with zero config: batches shard over 'data', state is
+    replicated, and XLA emits the gradient all-reduce over ICI."""
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    n = next(k for k in range(len(devices), 0, -1) if batch_size % k == 0)
+    if n == 1:
+        print(
+            f"[parallel] batch size {batch_size} shares no divisor with "
+            f"{len(devices)} devices; training single-device"
+        )
+        return None
+    if n < len(devices):
+        print(
+            f"[parallel] batch size {batch_size} not divisible by "
+            f"{len(devices)} devices; using {n}"
+        )
+    else:
+        print(f"[parallel] data-parallel over {n} devices")
+    return data_parallel_mesh(devices[:n])

@@ -48,6 +48,10 @@ class Stage:
     validate: Optional[Callable[[TrainState], dict[str, float]]] = None
     # (state, step, logger) -> None; e.g. validation figures
     on_validation: Optional[Callable[[TrainState, int, MetricsLogger], None]] = None
+    # applied to the state after a possible checkpoint restore, before the
+    # first step — e.g. replicating over a data-parallel mesh (restored
+    # arrays land on one device; replication must happen after)
+    prepare_state: Optional[Callable[[TrainState], TrainState]] = None
 
 
 def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> TrainState:
@@ -59,6 +63,8 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
     if resume_from:
         state = restore_train_state(resume_from, state)
         print(f"resumed from {resume_from} at step {int(state.step)}")
+    if stage.prepare_state is not None:
+        state = stage.prepare_state(state)
 
     best = keeper.best_metric
     stale_epochs = 0
