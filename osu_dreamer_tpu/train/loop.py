@@ -92,7 +92,12 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
                     break
 
             if n_batches == 0:
-                raise RuntimeError("training stream yielded no batches")
+                raise RuntimeError(
+                    "training stream yielded no batches — most often the "
+                    "dataset has fewer windows than data.batch_size (partial "
+                    "batches are dropped for stable jit shapes); lower "
+                    "batch_size or raise max_per_map"
+                )
 
             # --- validation + checkpointing ---
             val_metrics: dict[str, float] = {}
