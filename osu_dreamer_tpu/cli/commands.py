@@ -91,14 +91,11 @@ def encode_latents(latent_ckpt_path: Path, data_dir: Path, force: bool):
     caches per map: <id>.latent.npz (z, s, labels); per mapset: h.npy
     (audio features at latent rate). Maps are bucket-padded so the encoder
     compiles a handful of shapes."""
-    from functools import partial
-
     import jax
     import jax.numpy as jnp
     import numpy as np
     from tqdm import tqdm
 
-    from osu_dreamer_tpu.audio import read_spec
     from osu_dreamer_tpu.data import pad_to_multiple
     from osu_dreamer_tpu.models.latent import LatentModel, LatentModelArgs
     from osu_dreamer_tpu.signal import read_beatmap
@@ -112,8 +109,12 @@ def encode_latents(latent_ckpt_path: Path, data_dir: Path, force: bool):
     chunk = model_args.chunk_size
     bucket = chunk * 64
 
-    @partial(jax.jit, static_argnums=())
-    def encode_audio(spec):
+    @jax.jit
+    def encode_audio(spec_u8):
+        # the disk format is uint8 — travel the host link quantized (4x
+        # fewer bytes; uploads dominate dataset builds) and dequantize on
+        # device, bit-identical to read_spec
+        spec = spec_u8.astype(jnp.float32) / 255.0
         _, h = model.apply(params, spec, method=LatentModel.encode_audio)
         return h
 
@@ -125,6 +126,7 @@ def encode_latents(latent_ckpt_path: Path, data_dir: Path, force: bool):
     if not map_files:
         raise click.ClickException(f"no pre-processed maps found in {data_dir}")
 
+    pending = None  # (out_file, z, s, labels, n_latent) — fetch overlaps next dispatch
     for map_file in tqdm(map_files, unit="map"):
         out_file = map_file.with_name(map_file.name.removesuffix(".map.npy") + ".latent.npz")
         h_file = map_file.parent / "h.npy"
@@ -133,9 +135,9 @@ def encode_latents(latent_ckpt_path: Path, data_dir: Path, force: bool):
 
         if force or not h_file.exists():
             with open(map_file.parent / "spec.npy", "rb") as f:
-                spec = read_spec(f).T.astype(np.float32)  # (L, A)
-            n_latent = -(-spec.shape[0] // chunk)
-            padded = pad_to_multiple(spec, bucket)[None]
+                spec_u8 = np.load(f).T  # (L, A) uint8
+            n_latent = -(-spec_u8.shape[0] // chunk)
+            padded = pad_to_multiple(spec_u8, bucket)[None]
             h = np.asarray(encode_audio(jnp.asarray(padded))[0, :n_latent], np.float32)
             np.save(h_file, h)
 
@@ -145,12 +147,22 @@ def encode_latents(latent_ckpt_path: Path, data_dir: Path, force: bool):
         n_latent = -(-chart.shape[0] // chunk)
         padded = pad_to_multiple(chart, bucket)[None]
         z, s = encode_chart(jnp.asarray(padded))
-        np.savez(
-            out_file,
-            z=np.asarray(z[0, :n_latent], np.float32),
-            s=np.asarray(s[0], np.float32),
-            labels=labels,
-        )
+        if pending is not None:
+            _write_latents(*pending)
+        pending = (out_file, z, s, labels, n_latent)
+    if pending is not None:
+        _write_latents(*pending)
+
+
+def _write_latents(out_file, z, s, labels, n_latent) -> None:
+    import numpy as np
+
+    np.savez(
+        out_file,
+        z=np.asarray(z[0, :n_latent], np.float32),
+        s=np.asarray(s[0], np.float32),
+        labels=labels,
+    )
 
 
 # --------------------------------------------------------- export-inference --
