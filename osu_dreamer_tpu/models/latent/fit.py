@@ -171,6 +171,16 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             **{f"eval/{k}": float(np.mean(v)) for k, v in per_map.items()},
         }
 
+    @jax.jit
+    def _plot_fwd(params, chart, spec):
+        # jitted: an eager full-map forward is hundreds of per-op dispatches
+        # (minutes per epoch over a relayed backend)
+        z, s = model.apply(params, chart, method=LatentModel.encode_chart)
+        pred, _ = model.apply(
+            params, z, s, spec, method=lambda mod, z, s, sp: mod.decode(z, s, spec=sp)
+        )
+        return z, pred
+
     def on_validation(state: TrainState, step: int, logger) -> None:
         # reconstruction figure for the first val map (reference plot_val)
         try:
@@ -179,10 +189,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             return
         spec = jnp.asarray(pad_to_multiple(sample.audio, bucket))[None]
         chart = jnp.asarray(pad_to_multiple(sample.chart, bucket))[None]
-        z, s = model.apply(state.params, chart, method=LatentModel.encode_chart)
-        pred, _ = model.apply(
-            state.params, z, s, spec, method=lambda mod, z, s, sp: mod.decode(z, s, spec=sp)
-        )
+        z, pred = _plot_fwd(state.params, chart, spec)
         L = sample.audio.shape[0]
         x = np.asarray(chart[0, :L]).T
         p = np.asarray(pred[0, :L], dtype=np.float32).T

@@ -16,6 +16,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from osu_dreamer_tpu.train.state import (
@@ -131,47 +132,85 @@ def evaluate_style(
 ) -> dict[str, float]:
     """generative quality metrics on the EMA model (reference :111-151):
     nearest-neighbor distance ratios (all and SR>=5), per-condition recall
-    over K samples, same-condition sample spread, and energy distance"""
+    over K samples, same-condition sample spread, and energy distance.
+
+    Jitted in one program: the metric math is dozens of ops, and eager
+    per-op dispatch is ruinous over a relayed backend."""
     B = s_real.shape[0]
     if B < 2:
         return {}
 
-    def cdist(a, b):
-        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
-        return jnp.sqrt(jnp.maximum(d2, 1e-12))
-
-    keys = jax.random.split(rng, num_samples)
-    samp = jnp.stack(
-        [model.apply(ema_params, labels, k, sample_steps, method=StyleModel.sample) for k in keys]
-    )  # (K, B, S)
-    flat = samp.reshape(-1, samp.shape[-1])
-
-    d_rr = cdist(s_real, s_real) + jnp.inf * jnp.eye(B)
-    rr = d_rr.min(axis=1).mean()
-
+    metrics_fn, nn_ratio_fn = _metric_fns(model)
     out = {
-        "nn_ratio": float(cdist(flat, s_real).min(axis=1).mean() / rr),
-        "cond_recall": float(
-            jnp.linalg.norm(samp - s_real[None], axis=-1).min(axis=0).mean()
-        ),
-        "energy_dist": float(energy_distance(flat, s_real)),
+        k: float(v)
+        for k, v in metrics_fn(
+            ema_params, s_real, labels, rng, num_samples, sample_steps
+        ).items()
     }
 
-    hi = labels[:, 0] >= 5.0
-    n_hi = int(hi.sum())
-    if n_hi > 1:
-        real_hi = s_real[hi]
-        d_hh = cdist(real_hi, real_hi) + jnp.inf * jnp.eye(n_hi)
-        rr_hi = d_hh.min(axis=1).mean()
-        samp_hi = samp[:, hi].reshape(-1, samp.shape[-1])
-        out["nn_ratio_sr5"] = float(cdist(samp_hi, real_hi).min(axis=1).mean() / rr_hi)
-
-    per_cond = jnp.swapaxes(samp, 0, 1)  # (B, K, S)
-    k = num_samples
-    pair = jax.vmap(cdist)(per_cond, per_cond).sum()
-    out["sample_spread"] = float(pair / (k * (k - 1) * B) / rr)
-
+    # SR>=5 subset ratio (data-dependent subset size -> gathered on host)
+    hi = np.asarray(labels[:, 0] >= 5.0)
+    if int(hi.sum()) > 1:
+        out["nn_ratio_sr5"] = float(
+            nn_ratio_fn(
+                ema_params, s_real[hi], labels[hi], rng, num_samples, sample_steps
+            )
+        )
     return out
+
+
+def _cdist(a, b):
+    d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return jnp.sqrt(jnp.maximum(d2, 1e-12))
+
+
+# jitted metric programs cached per model instance (flax Modules are not
+# hashable, so they can't be jit static args; the entry keeps the model ref
+# alive so its id stays unique)
+_METRIC_FNS: dict[int, tuple] = {}
+
+
+def _metric_fns(model):
+    cached = _METRIC_FNS.get(id(model))
+    if cached is not None:
+        return cached[1:]
+
+    def sample_stack(ema_params, labels, rng, num_samples, sample_steps):
+        keys = jax.random.split(rng, num_samples)
+        return jnp.stack(
+            [model.apply(ema_params, labels, k, sample_steps, method=StyleModel.sample) for k in keys]
+        )  # (K, B, S)
+
+    @partial(jax.jit, static_argnums=(4, 5))
+    def metrics(ema_params, s_real, labels, rng, num_samples, sample_steps):
+        B = s_real.shape[0]
+        samp = sample_stack(ema_params, labels, rng, num_samples, sample_steps)
+        flat = samp.reshape(-1, samp.shape[-1])
+
+        d_rr = _cdist(s_real, s_real) + jnp.inf * jnp.eye(B)
+        rr = d_rr.min(axis=1).mean()
+
+        per_cond = jnp.swapaxes(samp, 0, 1)  # (B, K, S)
+        k = num_samples
+        pair = jax.vmap(_cdist)(per_cond, per_cond).sum()
+
+        return {
+            "nn_ratio": _cdist(flat, s_real).min(axis=1).mean() / rr,
+            "cond_recall": jnp.linalg.norm(samp - s_real[None], axis=-1).min(axis=0).mean(),
+            "energy_dist": energy_distance(flat, s_real),
+            "sample_spread": pair / (k * (k - 1) * B) / rr,
+        }
+
+    @partial(jax.jit, static_argnums=(4, 5))
+    def nn_ratio(ema_params, s_real, labels, rng, num_samples, sample_steps):
+        B = s_real.shape[0]
+        samp = sample_stack(ema_params, labels, rng, num_samples, sample_steps)
+        d_rr = _cdist(s_real, s_real) + jnp.inf * jnp.eye(B)
+        rr = d_rr.min(axis=1).mean()
+        return _cdist(samp.reshape(-1, samp.shape[-1]), s_real).min(axis=1).mean() / rr
+
+    _METRIC_FNS[id(model)] = (model, metrics, nn_ratio)
+    return metrics, nn_ratio
 
 
 def init_style_training(
