@@ -151,3 +151,21 @@ class TestTempoInference:
         rec = Beatmap(text)
         assert len(rec.timing_points) >= 1
         assert 60000.0 / 300.0 <= rec.timing_points[0].beat_length <= 60000.0 / 60.0
+
+    def test_bpm_sweep(self):
+        """recovers (an octave of) the true tempo across the playable range"""
+        from osu_dreamer_tpu.audio import get_frame_times
+        from osu_dreamer_tpu.signal.hits import events_signal
+        from osu_dreamer_tpu.signal.tempo import estimate_tempo
+
+        ft = get_frame_times(8000)  # ~48 s
+        rng = np.random.default_rng(7)
+        for bpm in (80.0, 100.0, 128.0, 150.0, 172.0, 200.0, 222.0):
+            beat_ms = 60000.0 / bpm
+            ts = [500.0 + i * beat_ms for i in range(int(46000 / beat_ms))
+                  if rng.random() < 0.8]
+            beat_len, offset = estimate_tempo(events_signal(ts, ft), ft)
+            est = 60000.0 / beat_len
+            assert any(abs(est - bpm * m) < 0.03 * bpm * m for m in (0.5, 1.0, 2.0)), (
+                f"bpm {bpm}: estimated {est:.1f}")
+            assert 0.0 <= offset < beat_len
