@@ -11,6 +11,7 @@ can rebuild models without the training config files.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from dataclasses import dataclass
 from pathlib import Path
@@ -41,19 +42,33 @@ def save_train_checkpoint(
     hparams: dict[str, Any],
     metric: Optional[float] = None,
 ) -> None:
-    """write a full training checkpoint (overwrites `path`)"""
+    """write a full training checkpoint (overwrites `path`).
+
+    Crash-safe: the new checkpoint is fully written to a sibling .tmp dir
+    first and swapped in with renames, so an interrupt mid-save never
+    destroys the previous resume point (a kill between the two renames —
+    microseconds — leaves the complete .tmp next to the old dir)."""
     path = Path(path).absolute()
-    if path.exists():
-        shutil.rmtree(path)
-    path.mkdir(parents=True)
+    tmp = path.with_name(path.name + ".tmp")
+    old = path.with_name(path.name + ".old")
+    for stale in (tmp, old):
+        if stale.exists():
+            shutil.rmtree(stale)
+    tmp.mkdir(parents=True)
 
     host_state = jax.tree.map(np.asarray, jax.device_get(state))
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / _STATE_DIR, host_state)
+        ckptr.save(tmp / _STATE_DIR, host_state)
 
-    (path / _META_FILE).write_text(
+    (tmp / _META_FILE).write_text(
         json.dumps({"hparams": hparams, "metric": metric, "step": int(state.step)})
     )
+
+    if path.exists():
+        path.rename(old)
+    tmp.rename(path)
+    if old.exists():
+        shutil.rmtree(old)
 
 
 def restore_train_state(path: str | Path, template: TrainState) -> TrainState:
@@ -88,11 +103,23 @@ class BestCheckpointKeeper:
     (Lightning ``ModelCheckpoint(save_top_k=1)`` semantics) plus a rolling
     ``last`` checkpoint for crash resume"""
 
-    def __init__(self, run_dir: str | Path, monitor: str, mode: str = "min"):
+    def __init__(
+        self,
+        run_dir: str | Path,
+        monitor: str,
+        mode: str = "min",
+        min_save_interval_s: float = 0.0,
+    ):
         assert mode in ("min", "max")
         self.run_dir = Path(run_dir)
         self.monitor = monitor
         self.mode = mode
+        # throttle rolling-`last` saves: a full checkpoint is a device->host
+        # fetch of the whole TrainState (hundreds of MB), which can dwarf
+        # short epochs; `last` is refreshed at most this often (a new best
+        # always saves). 0 = save every update.
+        self.min_save_interval_s = min_save_interval_s
+        self._last_save_t: float = -float("inf")
         self.best_metric: Optional[float] = None
         # recover best metric from an existing run dir (resume)
         best_meta = self.run_dir / "best" / _META_FILE
@@ -110,21 +137,33 @@ class BestCheckpointKeeper:
     def update(
         self, state: TrainState, hparams: dict[str, Any], metrics: dict[str, float]
     ) -> bool:
-        """save `last`; promote to `best` when the monitored metric improves.
-        returns True when a new best was saved"""
-        value = metrics.get(self.monitor)
-        save_train_checkpoint(self.last_path, state, hparams, value)
+        """save `last` (rate-limited); promote to `best` when the monitored
+        metric improves (always saved). returns True when a new best was
+        saved"""
+        import time
 
-        if value is None:
-            return False
-        improved = (
+        value = metrics.get(self.monitor)
+        improved = value is not None and (
             self.best_metric is None
             or (self.mode == "min" and value < self.best_metric)
             or (self.mode == "max" and value > self.best_metric)
         )
+        now = time.monotonic()
+        if not improved and now - self._last_save_t < self.min_save_interval_s:
+            return False
+
+        save_train_checkpoint(self.last_path, state, hparams, value)
+        self._last_save_t = now
+
         if improved:
             self.best_metric = value
             if self.best_path.exists():
                 shutil.rmtree(self.best_path)
-            shutil.copytree(self.last_path, self.best_path)
+            # hardlink instead of copying (checkpoints are hundreds of MB);
+            # safe because saves never mutate in place — save_train_checkpoint
+            # rmtree+rewrites, which unlinks
+            try:
+                shutil.copytree(self.last_path, self.best_path, copy_function=os.link)
+            except OSError:  # cross-device fallback
+                shutil.copytree(self.last_path, self.best_path)
         return improved

@@ -33,6 +33,9 @@ class FitArgs:
     monitor_mode: str = "min"
     early_stop_patience: int = 0  # 0: disabled
     early_stop_min_delta: float = 0.0
+    # refresh the rolling `last` checkpoint at most this often (a full save
+    # fetches the whole TrainState off-device); a new best always saves
+    save_last_every_s: float = 60.0
     seed: int = 0
 
 
@@ -57,7 +60,9 @@ class Stage:
 def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> TrainState:
     run_dir = Path(args.run_dir)
     logger = MetricsLogger(run_dir / "tb")
-    keeper = BestCheckpointKeeper(run_dir, args.monitor, args.monitor_mode)
+    keeper = BestCheckpointKeeper(
+        run_dir, args.monitor, args.monitor_mode, args.save_last_every_s
+    )
 
     state = stage.state
     if resume_from:
@@ -137,6 +142,9 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
     except KeyboardInterrupt:
         print(f"[{stage.name}] interrupted at step {int(state.step)}; last checkpoint kept")
     finally:
+        # the rolling save is rate-limited; always leave a current `last`
+        keeper.min_save_interval_s = 0.0
+        keeper.update(state, stage.hparams, {})
         logger.close()
 
     return state
