@@ -186,3 +186,70 @@ class TestProfiling:
         summary = t.summary()
         assert summary["steps_per_sec"] > 0
         assert summary["step_time_p95_s"] >= summary["step_time_p50_s"]
+
+
+class TestCheckpointRobustness:
+    def _state(self):
+        import optax
+
+        from osu_dreamer_tpu.train.state import create_train_state
+
+        return create_train_state({"w": jnp.ones(2)}, optax.adam(1e-3), jax.random.PRNGKey(0))
+
+    def test_interrupted_save_keeps_previous(self, tmp_path, monkeypatch):
+        """a crash mid-save must not destroy the existing checkpoint"""
+        import orbax.checkpoint as ocp
+
+        from osu_dreamer_tpu.train.checkpoint import (
+            load_train_checkpoint,
+            save_train_checkpoint,
+        )
+
+        state = self._state()
+        path = tmp_path / "last"
+        save_train_checkpoint(path, state, {"v": 1}, metric=1.0)
+
+        real_save = ocp.StandardCheckpointer.save
+
+        def boom(self, *a, **k):
+            raise RuntimeError("simulated crash mid-save")
+
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            save_train_checkpoint(path, state, {"v": 2}, metric=2.0)
+        monkeypatch.setattr(ocp.StandardCheckpointer, "save", real_save)
+
+        # the original checkpoint is intact and loadable
+        loaded = load_train_checkpoint(path)
+        assert loaded.hparams == {"v": 1} and loaded.metric == 1.0
+
+        # and a later save recovers cleanly despite the stale .tmp
+        save_train_checkpoint(path, state, {"v": 3}, metric=3.0)
+        assert load_train_checkpoint(path).hparams == {"v": 3}
+
+    def test_rate_limited_last(self, tmp_path):
+        from osu_dreamer_tpu.train.checkpoint import BestCheckpointKeeper
+
+        state = self._state()
+        keeper = BestCheckpointKeeper(
+            tmp_path, monitor="val/loss", mode="min", min_save_interval_s=3600.0
+        )
+        assert keeper.update(state, {}, {"val/loss": 1.0})  # first: improved -> saves
+        m0 = (tmp_path / "last" / "meta.json").stat().st_mtime_ns
+        assert not keeper.update(state, {}, {"val/loss": 2.0})  # worse + throttled
+        assert (tmp_path / "last" / "meta.json").stat().st_mtime_ns == m0  # skipped
+        assert keeper.update(state, {}, {"val/loss": 0.5})  # improved: bypasses throttle
+        assert (tmp_path / "last" / "meta.json").stat().st_mtime_ns != m0
+
+    def test_best_promotion_hardlinks(self, tmp_path):
+        from osu_dreamer_tpu.train.checkpoint import BestCheckpointKeeper
+
+        state = self._state()
+        keeper = BestCheckpointKeeper(tmp_path, monitor="val/loss", mode="min")
+        keeper.update(state, {}, {"val/loss": 1.0})
+        last_meta = tmp_path / "last" / "meta.json"
+        best_meta = tmp_path / "best" / "meta.json"
+        assert last_meta.stat().st_ino == best_meta.stat().st_ino  # same inode
+        # a new save must not mutate best through the link
+        keeper.update(state, {}, {"val/loss": 2.0})
+        assert best_meta.exists() and last_meta.stat().st_ino != best_meta.stat().st_ino
