@@ -107,6 +107,56 @@ print("ring-attention-matches")
 
 
 @pytest.mark.slow
+def test_tensor_parallel_matches_single_device():
+    """the diffusion train step under (data, model) TP sharding produces the
+    same loss and the same updated params as the unsharded step — GSPMD
+    inserts the collectives, the step code is identical"""
+    out = run_child(
+        """
+import jax, jax.numpy as jnp, numpy as np
+from jax.sharding import PartitionSpec as P
+from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+from osu_dreamer_tpu.models.diffusion.model import BackboneArgs
+from osu_dreamer_tpu.models.diffusion.train import (
+    DiffusionTrainArgs, LatentBatch, init_diffusion_training)
+from osu_dreamer_tpu.parallel import shard_batch, shard_by_rules, tp_mesh
+
+tiny = DiffusionModelArgs(
+    emb_dim=4, a_dim=16, style_dim=8, global_cond_dim=16,
+    backbone_dim=16, u_head_dim=8,
+    backbone=BackboneArgs(depth=2, expand=2, head_dim=8, n_heads=2, radius=1))
+key = jax.random.PRNGKey(0)
+
+B = 8
+k1, k2, k3 = jax.random.split(key, 3)
+batch = LatentBatch(
+    h=jax.random.normal(k1, (B, 8, 16)), z=jax.random.normal(k2, (B, 8, 4)),
+    s=jax.random.normal(k3, (B, 8)), labels=jnp.ones((B, 5)))
+
+_, state, train_step = init_diffusion_training(tiny, DiffusionTrainArgs(), key, seq_len=8)
+ref_state, ref_metrics = train_step(state, batch)
+ref_w = np.asarray(ref_state.params["params"]["net"]["layer0"]["attn"]["qkv"]["kernel"])
+
+_, state2, train_step2 = init_diffusion_training(tiny, DiffusionTrainArgs(), key, seq_len=8)
+mesh = tp_mesh(2)  # (data=4, model=2)
+with mesh:
+    tp_state = shard_by_rules(state2, mesh)
+    w = tp_state.params["params"]["net"]["layer0"]["attn"]["qkv"]["kernel"]
+    assert w.sharding.spec == P(None, "model"), w.sharding
+    shard = next(iter(w.addressable_shards)).data
+    assert shard.shape == (16, 24), shard.shape  # half the 3*H*D features
+    new_state, metrics = train_step2(tp_state, shard_batch(batch, mesh))
+    tp_w = np.asarray(new_state.params["params"]["net"]["layer0"]["attn"]["qkv"]["kernel"])
+
+np.testing.assert_allclose(float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5)
+np.testing.assert_allclose(tp_w, ref_w, rtol=1e-4, atol=1e-6)
+print("tp-matches-single")
+"""
+    )
+    assert "tp-matches-single" in out
+
+
+@pytest.mark.slow
 def test_fit_denoiser_data_parallel(tmp_path):
     """the actual fit-denoiser path trains over an 8-device DP mesh with
     zero config: auto mesh, replicated state, sharded batches"""
