@@ -194,12 +194,17 @@ def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, 
 @click.option("--artist", type=str, help="song artist (read from audio tags when omitted; single audio file only)")
 @click.option("--seed", type=int, default=None, help="sampling seed (default: random)")
 @click.option("--infer-tempo", is_flag=True, help="estimate BPM/offset from the predicted onsets (beyond the reference, which emits a slider-velocity-derived tempo)")
-def predict(model_path, audio_files, diff, sample_steps, title, artist, seed, infer_tempo):
+@click.option("--serialize-workers", type=click.IntRange(min=1), default=None, help="host processes decoding .osu files in bulk mode (default: up to 4; 1 = in-process)")
+def predict(model_path, audio_files, diff, sample_steps, title, artist, seed, infer_tempo, serialize_workers):
     """generate osu!std beatmaps from raw audio -> one .osz mapset per song.
 
     Bulk mode (repeated --audio-file): songs in the same ~6 s length class
-    share one compiled pipeline, and host-side .osu serialization of song k
-    overlaps the device sampling of song k+1."""
+    share one compiled pipeline, and host-side .osu serialization (the MAP
+    slider fitter is the CPU tail) fans out over worker processes while the
+    device samples the next song."""
+    import os
+    from collections import deque
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -217,7 +222,39 @@ def predict(model_path, audio_files, diff, sample_steps, title, artist, seed, in
     labels = jnp.asarray(diff, jnp.float32)
     base_seed = seed if seed is not None else random.randrange(2**31)
 
+    n_osus = len(audio_files) * len(diff)
+    if serialize_workers is None:
+        serialize_workers = min(4, os.cpu_count() or 1, n_osus)
+    pool = None
+    if n_osus > 1 and serialize_workers > 1:
+        pool = _spawn_serialize_pool(serialize_workers)
+
     sample = jax.jit(lambda p, sp, lb, k: model.apply(p, sp, lb, k, sample_steps))
+
+    # songs move: device sampling -> (pool) .osu decode -> .osz write; the
+    # device never waits on the host tail
+    queued: deque = deque()  # (audio_file, title, artist, [futures])
+
+    def enqueue(audio_file, s_title, s_artist, L, chart, pred_labels) -> None:
+        signals = np.asarray(chart, np.float32)[:, :L].transpose(0, 2, 1)
+        label_rows = np.asarray(pred_labels, np.float32)
+        jobs = [
+            (s_title, s_artist, audio_file.name, i, row, sig, infer_tempo)
+            for i, (row, sig) in enumerate(zip(label_rows, signals))
+        ]
+        if pool is None:
+            done = [_decode_osu_entry(*j) for j in jobs]
+            _write_mapset(audio_file, s_title, s_artist, done)
+        else:
+            queued.append(
+                (audio_file, s_title, s_artist,
+                 [pool.apply_async(_decode_osu_entry, j) for j in jobs])
+            )
+
+    def flush(block: bool) -> None:
+        while queued and (block or all(r.ready() for r in queued[0][3])):
+            audio_file, s_title, s_artist, results = queued.popleft()
+            _write_mapset(audio_file, s_title, s_artist, [r.get() for r in results])
 
     pending = None  # (audio_file, title, artist, L, chart, pred_labels)
     for i, audio_file in enumerate(audio_files):
@@ -231,22 +268,57 @@ def predict(model_path, audio_files, diff, sample_steps, title, artist, seed, in
         chart, pred_labels = sample(params, spec, labels, jax.random.PRNGKey(base_seed + i))
 
         if pending is not None:
-            _serialize_mapset(*pending, infer_tempo)  # overlaps the async device work above
+            enqueue(*pending)  # overlaps the async device work above
+            flush(block=False)
         pending = (audio_file, song_title, song_artist, L, chart, pred_labels)
 
     if pending is not None:
-        _serialize_mapset(*pending, infer_tempo)
+        enqueue(*pending)
+    flush(block=True)
+    if pool is not None:
+        pool.close()
+        pool.join()
 
 
-def _serialize_mapset(audio_file, title, artist, L, chart, pred_labels, infer_tempo=False) -> None:
-    from zipfile import ZipFile
+def _spawn_serialize_pool(workers: int):
+    """a spawn-context process pool for .osu decoding.
 
-    import numpy as np
+    - spawn, not fork: the parent runs a multithreaded JAX runtime and
+      forking it can deadlock.
+    - the TPU-relay env var is scrubbed while the workers start (spawn is
+      eager in ``Pool.__init__``) so each worker gets a plain interpreter:
+      the sitecustomize in this image would otherwise open a device-relay
+      session per process. Workers never touch JAX — they only run the
+      host-side signal codec.
+    """
+    import multiprocessing
+    import os
 
+    ctx = multiprocessing.get_context("spawn")
+    saved = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    try:
+        return ctx.Pool(workers)
+    finally:
+        if saved is not None:
+            os.environ["PALLAS_AXON_POOL_IPS"] = saved
+
+
+def _decode_osu_entry(title, artist, audio_name, version_i, label_row, signal, infer_tempo):
+    """one difficulty's .osu text — top-level so it pickles to pool workers"""
     from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
 
-    signals = np.asarray(chart, np.float32)[:, :L].transpose(0, 2, 1)  # (B, X, L)
-    label_rows = np.asarray(pred_labels, np.float32)
+    name = f"{artist} - {title} (osu!dreamer-tpu) [version {version_i}].osu"
+    text = decode_beatmap(
+        MapMetadata(audio_name, title, artist, f"version {version_i}"),
+        label_row,
+        signal,
+        infer_tempo=infer_tempo,
+    )
+    return name, text
+
+
+def _write_mapset(audio_file, title, artist, entries) -> None:
+    from zipfile import ZipFile
 
     hex_chars = "0123456789abcdef"
     while True:
@@ -257,16 +329,8 @@ def _serialize_mapset(audio_file, title, artist, L, chart, pred_labels, infer_te
 
     with ZipFile(mapset, "x") as archive:
         archive.write(audio_file, audio_file.name)
-        for i, (label_row, signal) in enumerate(zip(label_rows, signals)):
-            archive.writestr(
-                f"{artist} - {title} (osu!dreamer-tpu) [version {i}].osu",
-                decode_beatmap(
-                    MapMetadata(audio_file.name, title, artist, f"version {i}"),
-                    label_row,
-                    signal,
-                    infer_tempo=infer_tempo,
-                ),
-            )
+        for name, text in entries:
+            archive.writestr(name, text)
     click.echo(f"  wrote {mapset}")
 
 

@@ -213,6 +213,38 @@ def test_full_pipeline(dataset_dir, tmp_path):
         os.chdir(cwd)
     assert res.exit_code == 0, res.output
 
+    # bulk mode: several songs, .osu decoding fanned out over worker
+    # processes (spawn pool), one .osz per song
+    wav2 = tmp_path / "song2.wav"
+    _write_wav(wav2, np.sin(2 * np.pi * 330 * np.arange(SR * 3) / SR).astype(np.float32) * 0.5)
+    bulk_dir = tmp_path / "bulk"
+    bulk_dir.mkdir()
+    os.chdir(bulk_dir)
+    try:
+        res = runner.invoke(
+            cli_main,
+            [
+                "predict",
+                "--model-path", str(artifact),
+                "--audio-file", str(wav),
+                "--audio-file", str(wav2),
+                "--diff", "5", "9", "8", "4", "6",
+                "--diff", "3", "7", "6", "3", "5",
+                "--sample-steps", "2",
+                "--seed", "1",
+                "--serialize-workers", "2",
+            ],
+            catch_exceptions=False,
+        )
+    finally:
+        os.chdir(cwd)
+    assert res.exit_code == 0, res.output
+    bulk_sets = sorted(bulk_dir.glob("*.osz"))
+    assert len(bulk_sets) == 2
+    for ms in bulk_sets:
+        with zipfile.ZipFile(ms) as z:
+            assert sum(n.endswith(".osu") for n in z.namelist()) == 2
+
     mapsets = list(tmp_path.glob("*.osz"))
     assert len(mapsets) == 1
     with zipfile.ZipFile(mapsets[0]) as z:
