@@ -9,15 +9,21 @@ compile ~10x, which would tax the whole suite.
 
 import os
 
-# must be set before jax is imported anywhere; unconditional — the ambient
-# environment points JAX at a (slow, tunneled) accelerator. NOTE: avoid
-# running two jax processes concurrently in this environment; the ambient
-# sitecustomize opens a TPU relay session per process and concurrent
-# sessions can block each other for minutes.
+# the ambient environment points JAX at a (slow, tunneled) accelerator via a
+# sitecustomize that registers the plugin at interpreter start — BEFORE this
+# conftest runs — so the env var alone does not stick; the config.update
+# below is what actually pins the backend. Both are set so subprocesses
+# inherit the env. NOTE: avoid running two jax processes concurrently in
+# this environment; the ambient sitecustomize opens a TPU relay session per
+# process and concurrent sessions can block each other for minutes.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# a truthy PALLAS_AXON_POOL_IPS makes sitecustomize re-register the relay in
+# every subprocess (incl. spawn pools); clear it for children
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 try:
