@@ -1,0 +1,242 @@
+"""End-to-end QUALITY run on synthetic audio-aligned mapsets.
+
+The build environment has no network egress (the reference's HF corpus is
+unreachable), so this is the offline substitute for a real-data training run:
+generate mapsets whose audio carries the chart (clicks at hit times), train
+all three stages through the real CLI/fit surfaces, export the artifact, and
+score the system on songs it has NEVER seen:
+
+  onset F1 — generate a map for a held-out click track and match the
+  generated hit-object times against the ground-truth click times.
+
+That number is only meaningful if the whole chain works: featurizer sees the
+clicks, the WAE reconstructs onsets from audio+latents, the denoiser places
+latent onsets from audio features, and the serializer emits them at the
+right milliseconds.
+
+Usage (defaults sized for ~15 min on one TPU chip):
+    python benchmarks/quality_run.py [--mapsets 24] [--seconds 60]
+        [--outdir /tmp/quality_run] [--steps-latent 300] ...
+
+Prints one JSON line with the per-stage best metrics and the held-out
+onset precision/recall/F1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+import zipfile
+from pathlib import Path
+
+# persistent compile cache: stage fits re-jit identical programs on rerun
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_quality")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+import yaml
+
+
+def stage_cfg(base: dict, data_dir: Path, run_dir: Path, **fit_overrides) -> dict:
+    cfg = json.loads(json.dumps(base))  # deep copy
+    cfg["data"]["data_dir"] = str(data_dir)
+    cfg["fit"]["run_dir"] = str(run_dir)
+    cfg["fit"].update(fit_overrides)
+    return cfg
+
+
+def onset_match(pred_ms: np.ndarray, true_ms: np.ndarray, tol_ms: float = 24.0):
+    """greedy 1:1 matching within tolerance -> (precision, recall, f1)"""
+    pred = np.sort(pred_ms.astype(float))
+    true = np.sort(true_ms.astype(float))
+    used = np.zeros(len(true), bool)
+    tp = 0
+    for p in pred:
+        idx = np.searchsorted(true, p)
+        best, best_d = -1, tol_ms + 1
+        for j in (idx - 1, idx):
+            if 0 <= j < len(true) and not used[j] and abs(true[j] - p) < best_d:
+                best, best_d = j, abs(true[j] - p)
+        if best >= 0 and best_d <= tol_ms:
+            used[best] = True
+            tp += 1
+    precision = tp / max(len(pred), 1)
+    recall = tp / max(len(true), 1)
+    f1 = 2 * precision * recall / max(precision + recall, 1e-9)
+    return precision, recall, f1
+
+
+def hit_times_from_osu(text: str) -> np.ndarray:
+    section = text.split("[HitObjects]")[1]
+    times = []
+    for line in section.strip().splitlines():
+        parts = line.split(",")
+        if len(parts) >= 3:
+            times.append(float(parts[2]))
+    return np.asarray(times)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mapsets", type=int, default=24)
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--outdir", type=Path, default=Path("/tmp/quality_run"))
+    ap.add_argument("--epochs-latent", type=int, default=30)
+    ap.add_argument("--epochs-denoiser", type=int, default=60)
+    ap.add_argument("--epochs-style", type=int, default=150)
+    ap.add_argument("--sample-steps", type=int, default=32)
+    ap.add_argument("--latent-batch", type=int, default=32)
+    ap.add_argument("--denoiser-batch", type=int, default=32)
+    ap.add_argument("--style-batch", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--holdout-songs", type=int, default=2)
+    args = ap.parse_args()
+
+    from click.testing import CliRunner
+
+    from osu_dreamer_tpu.cli import main as cli_main
+    from osu_dreamer_tpu.data.synth import build_library, make_mapset, write_wav
+    from osu_dreamer_tpu.models.diffusion.fit import run as fit_denoiser
+    from osu_dreamer_tpu.models.latent.fit import run as fit_latent
+    from osu_dreamer_tpu.models.style.fit import run as fit_style
+
+    out = args.outdir
+    out.mkdir(parents=True, exist_ok=True)
+    runner = CliRunner()
+
+    def cli(*argv: str) -> None:
+        res = runner.invoke(cli_main, list(argv), catch_exceptions=False)
+        assert res.exit_code == 0, res.output
+
+    # ---- 1. synthetic library -> preprocessed dataset (real ingest path) --
+    songs = out / "Songs"
+    if not (out / "data").exists():
+        print("[quality] building synthetic library...", file=sys.stderr)
+        build_library(songs, args.mapsets, seconds=args.seconds, seed=args.seed)
+        cli("generate-data", "--data-dir", str(out / "data"), "--songs-dir", str(songs))
+
+    data_dir, runs = out / "data", out / "runs"
+
+    # ---- 2. stage configs: reference-scale models, schedules sized to the
+    #         small synthetic corpus (the defaults assume the full HF corpus)
+    import osu_dreamer_tpu.models as m
+
+    def load_default(stage: str) -> dict:
+        p = Path(m.__file__).parent / stage / "config.yml"
+        return yaml.safe_load(p.read_text())
+
+    # hold out at least one whole mapset even for tiny --mapsets runs
+    # (n_val = min(count, floor(n*frac)) would otherwise round to zero and
+    # the fit never writes a `best` checkpoint)
+    val_frac = max(0.2, 1.01 / args.mapsets)
+
+    latent_cfg = stage_cfg(
+        load_default("latent"), data_dir, runs / "latent",
+        max_epochs=args.epochs_latent, early_stop_patience=0,
+    )
+    latent_cfg["data"].update(
+        batch_size=args.latent_batch, max_per_map=4, max_val_count=4,
+        max_val_frac=val_frac,
+    )
+    latent_cfg["train"]["opt"]["schedule"] = {"warmup_init": 0.1, "warmup_steps": 50}
+
+    diff_cfg = stage_cfg(
+        load_default("diffusion"), data_dir, runs / "denoiser",
+        max_epochs=args.epochs_denoiser,
+    )
+    diff_cfg["data"].update(
+        batch_size=args.denoiser_batch, max_per_map=2, max_val_count=4,
+        max_val_frac=val_frac, shuffle_buffer=64,
+    )
+    diff_cfg["train"]["opt"]["schedule"] = {"warmup_init": 0.3, "warmup_steps": 50}
+
+    style_cfg = stage_cfg(
+        load_default("style"), data_dir, runs / "style",
+        max_epochs=args.epochs_style,
+    )
+    # style sees ONE sample per map (its dataset is the per-map (s, labels)
+    # pairs); clamp the batch so tiny --mapsets runs still form a batch
+    n_val = min(8, int(args.mapsets * val_frac))
+    n_train_maps = 2 * (args.mapsets - n_val)  # build_library: 2 diffs/mapset
+    style_cfg["data"].update(
+        batch_size=min(args.style_batch, max(1, n_train_maps)),
+        max_val_count=8, max_val_frac=val_frac,
+    )
+
+    def ckpt(stage: str) -> Path:
+        best = runs / stage / "best"
+        return best if best.exists() else runs / stage / "last"
+
+    # ---- 3. train the three stages through the real fit entry points -----
+    metrics: dict[str, float] = {}
+    for name, cfg, fit_fn in (
+        ("latent", latent_cfg, fit_latent),
+        ("encode", None, None),
+        ("denoiser", diff_cfg, fit_denoiser),
+        ("style", style_cfg, fit_style),
+    ):
+        if name == "encode":
+            cli("encode-latents", "--latent-ckpt-path", str(ckpt("latent")),
+                "--data-dir", str(data_dir), "--force")
+            continue
+        print(f"[quality] fitting {name}...", file=sys.stderr)
+        cfg_path = out / f"{name}.yml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        fit_fn(cfg_path)
+        meta_path = runs / name / "best" / "meta.json"
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            metrics[f"{name}/{cfg['fit']['monitor']}"] = meta["metric"]
+
+    # ---- 4. export + held-out generation ---------------------------------
+    artifact = out / "inference.odt"
+    cli("export-inference",
+        "--latent-ckpt-path", str(ckpt("latent")),
+        "--denoiser-ckpt-path", str(ckpt("denoiser")),
+        "--style-ckpt-path", str(ckpt("style")),
+        "--output-path", str(artifact))
+
+    rng = np.random.default_rng(args.seed + 10_000)  # disjoint from training
+    f1s, precs, recs = [], [], []
+    gen_dir = out / "generated"
+    gen_dir.mkdir(exist_ok=True)
+
+    for k in range(args.holdout_songs):
+        _, wave, true_onsets = make_mapset(rng, seconds=args.seconds)
+        wav = gen_dir / f"holdout{k}.wav"
+        write_wav(wav, wave)
+        cwd = os.getcwd()
+        os.chdir(gen_dir)
+        try:
+            cli("predict", "--model-path", str(artifact), "--audio-file", str(wav),
+                "--diff", "2.5", "9.5", "8", "4", "5",
+                "--sample-steps", str(args.sample_steps), "--seed", str(k))
+        finally:
+            os.chdir(cwd)
+        osz = max(gen_dir.glob("*.osz"), key=lambda p: p.stat().st_mtime)
+        with zipfile.ZipFile(osz) as z:
+            osu_name = next(n for n in z.namelist() if n.endswith(".osu"))
+            pred = hit_times_from_osu(z.read(osu_name).decode())
+        p, r, f1 = onset_match(pred, true_onsets)
+        print(
+            f"[quality] holdout {k}: {len(pred)} generated vs "
+            f"{len(true_onsets)} true onsets -> P {p:.2f} R {r:.2f} F1 {f1:.2f}",
+            file=sys.stderr,
+        )
+        precs.append(p); recs.append(r); f1s.append(f1)
+
+    metrics.update(
+        onset_precision=float(np.mean(precs)),
+        onset_recall=float(np.mean(recs)),
+        onset_f1=float(np.mean(f1s)),
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

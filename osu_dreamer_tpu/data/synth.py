@@ -1,0 +1,222 @@
+"""Synthetic audio-aligned mapsets for offline training / quality runs.
+
+This build environment has no network egress, so the reference's HF corpus
+(reference data/dataset.py:34-38) is unreachable; this module generates
+mapsets whose AUDIO IS CORRELATED WITH THE CHART — percussive clicks at every
+hit time over a tonal bed — so the audio-conditioned stages have real signal
+to learn (random-noise spectrograms, as in the unit tests, only exercise
+shapes). Used by ``benchmarks/quality_run.py`` and the training smoke tests.
+
+Beyond the reference: it ships nothing comparable (its quality evidence is a
+linked mapset, reference README.md:7-8).
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from osu_dreamer_tpu.audio import SR
+
+PLAYFIELD = np.array([512.0, 384.0])
+
+
+def _osu_text(
+    objs: list[str],
+    *,
+    title: str,
+    version: str,
+    audio_name: str,
+    bpm: float,
+    offset_ms: float,
+    ar: float,
+    cs: float,
+    od: float,
+    hp: float,
+    slider_mult: float,
+) -> str:
+    beat_len = 60_000.0 / bpm
+    return (
+        "osu file format v14\n\n"
+        f"[General]\nAudioFilename: {audio_name}\nMode: 0\n\n"
+        f"[Metadata]\nTitle: {title}\nArtist: synth\nCreator: synth\n"
+        f"Version: {version}\n\n"
+        f"[Difficulty]\nHPDrainRate: {hp}\nCircleSize: {cs}\n"
+        f"OverallDifficulty: {od}\nApproachRate: {ar}\n"
+        f"SliderMultiplier: {slider_mult}\nSliderTickRate: 1\n\n"
+        f"[TimingPoints]\n{offset_ms:.0f},{beat_len},4,2,0,60,1,0\n\n"
+        "[HitObjects]\n" + "\n".join(objs) + "\n"
+    )
+
+
+def make_mapset(
+    rng: np.random.Generator,
+    seconds: float = 60.0,
+    n_difficulties: int = 2,
+) -> tuple[list[str], np.ndarray, np.ndarray]:
+    """-> (.osu texts, mono wave at SR, onset times in ms of the densest
+    difficulty). All difficulties share one rhythm grid (and therefore one
+    audio) but thin it differently and use different difficulty settings —
+    the same structure as a real mapset."""
+    bpm = float(rng.uniform(120, 200))
+    beat_len = 60_000.0 / bpm
+    offset = float(rng.uniform(400, 900))
+    end_ms = seconds * 1000.0 - 2000.0
+
+    # rhythm grid: each beat hits w.p. .8, half-beats w.p. .25
+    grid: list[float] = []
+    t = offset
+    while t < end_ms:
+        if rng.random() < 0.8:
+            grid.append(t)
+        if rng.random() < 0.25:
+            grid.append(t + beat_len / 2)
+        t += beat_len
+    grid.sort()
+
+    texts = []
+    all_onsets: list[float] = []
+    for d in range(n_difficulties):
+        keep = 1.0 if d == 0 else rng.uniform(0.5, 0.75)
+        objs: list[str] = []
+        pos = rng.uniform([100, 100], [400, 280])
+        t_free = 0.0  # next time the track is free (no overlapping objects)
+        onsets: list[float] = []
+        combo = 0
+        for i, tg in enumerate(grid):
+            if tg < t_free or (d > 0 and rng.random() > keep):
+                continue
+            step = rng.uniform(40, 140)
+            ang = rng.uniform(0, 2 * np.pi)
+            pos = np.clip(
+                pos + step * np.array([np.cos(ang), np.sin(ang)]),
+                [30, 30], [482, 354],
+            )
+            x, y = int(pos[0]), int(pos[1])
+            new_combo = 4 if combo % 8 == 0 else 0
+            combo += 1
+            r = rng.random()
+            if r < 0.65:  # circle
+                objs.append(f"{x},{y},{tg:.0f},{1 + new_combo},0,0:0:0:0:")
+                t_free = tg + 1.0
+                onsets.append(tg)
+            elif r < 0.92:  # slider spanning ~1 beat
+                length = 100.0  # px; duration = length/(mult*100)*beat_len
+                x2 = int(np.clip(x + rng.choice([-1, 1]) * 90, 20, 490))
+                y2 = int(np.clip(y + rng.integers(-60, 60), 20, 370))
+                objs.append(
+                    f"{x},{y},{tg:.0f},{2 + new_combo},0,L|{x2}:{y2},1,{length}"
+                )
+                # slide duration at mult 1.4: 100/140*beat_len
+                t_free = tg + 100.0 / 140.0 * beat_len + 1.0
+                pos = np.array([x2, y2], float)
+                onsets.append(tg)
+            else:  # spinner over ~2 beats
+                t_end = tg + 2 * beat_len
+                objs.append(f"256,192,{tg:.0f},{8 + new_combo},0,{t_end:.0f}")
+                t_free = t_end + beat_len / 2
+                onsets.append(tg)
+        if d == 0:
+            all_onsets = onsets
+        texts.append(
+            _osu_text(
+                objs,
+                title=f"synth{rng.integers(1 << 30)}",
+                version=f"v{d}",
+                audio_name="audio.wav",
+                bpm=bpm,
+                offset_ms=offset,
+                ar=float(np.clip(9.5 - 1.2 * d, 0, 10)),
+                cs=4.0,
+                od=float(np.clip(8.0 - d, 0, 10)),
+                hp=5.0,
+                slider_mult=1.4,
+            )
+        )
+
+    wave = _render_audio(rng, seconds, bpm, offset, np.asarray(all_onsets))
+    return texts, wave, np.asarray(all_onsets)
+
+
+def _render_audio(
+    rng: np.random.Generator,
+    seconds: float,
+    bpm: float,
+    offset_ms: float,
+    onsets_ms: np.ndarray,
+) -> np.ndarray:
+    """percussive click at every onset + bass thump per measure + a slowly
+    evolving chord bed + noise floor: enough spectral structure that the
+    resonator featurizer sees clear onset energy against a moving background"""
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    root = float(rng.uniform(110, 220))
+    chord = sum(
+        a * np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28))
+        for f, a in (
+            (root, 0.10),
+            (root * 1.5, 0.06),
+            (root * 2.0, 0.05),
+            (root * 2.5, 0.04),
+        )
+    ) * (0.7 + 0.3 * np.sin(2 * np.pi * 0.1 * t))
+    wave = chord + 0.005 * rng.normal(size=n)
+
+    # percussive hit: a broadband noise burst (excites every resonator bin)
+    # plus a tonal snap, long enough (~20 ms decay) for the constant-Q bank
+    # to integrate it
+    click_len = int(0.08 * SR)
+    env = np.exp(-np.arange(click_len) / (0.02 * SR))
+    click = env * (
+        0.7 * rng.normal(size=click_len)
+        + 0.5 * np.sin(2 * np.pi * 2400.0 * np.arange(click_len) / SR)
+    )
+    for ms in onsets_ms:
+        i = int(ms / 1000.0 * SR)
+        if 0 <= i < n - click_len:
+            wave[i : i + click_len] += 0.8 * click
+
+    beat_len_s = 60.0 / bpm
+    thump_len = int(0.08 * SR)
+    thump = np.exp(-np.arange(thump_len) / (0.02 * SR)) * np.sin(
+        2 * np.pi * 60.0 * np.arange(thump_len) / SR
+    )
+    tm = offset_ms / 1000.0
+    while tm < seconds - 0.1:
+        i = int(tm * SR)
+        if i < n - thump_len:
+            wave[i : i + thump_len] += 0.4 * thump
+        tm += 4 * beat_len_s
+
+    peak = np.abs(wave).max()
+    return (wave / max(peak, 1e-6) * 0.8).astype(np.float32)
+
+
+def write_wav(path: Path, wave: np.ndarray) -> None:
+    payload = (np.clip(wave, -1, 1) * 32767).astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, SR, SR * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def build_library(
+    songs_dir: Path, n_mapsets: int, seconds: float = 60.0, seed: int = 0
+) -> dict[str, np.ndarray]:
+    """write ``n_mapsets`` extracted-folder mapsets under ``songs_dir``
+    (consumable by ``generate-data --songs-dir``); returns {mapset dir name:
+    onset times ms} for evaluation"""
+    rng = np.random.default_rng(seed)
+    songs_dir.mkdir(parents=True, exist_ok=True)
+    onsets = {}
+    for i in range(n_mapsets):
+        d = songs_dir / f"{i:03d} synth"
+        d.mkdir(exist_ok=True)
+        texts, wave, ons = make_mapset(rng, seconds=seconds)
+        write_wav(d / "audio.wav", wave)
+        for j, text in enumerate(texts):
+            (d / f"map{i}_{j}.osu").write_text(text)
+        onsets[d.name] = ons
+    return onsets

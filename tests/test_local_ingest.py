@@ -55,6 +55,38 @@ def make_library(tmp_path) -> Path:
     return songs
 
 
+class TestSyntheticMapsets:
+    def test_library_parses_and_audio_carries_onsets(self, tmp_path):
+        """the offline quality-run generator (data/synth.py) emits valid
+        mapsets whose spectrogram shows clear energy at every hit time"""
+        from osu_dreamer_tpu.audio import MS_PER_FRAME, load_wave, make_spec
+        from osu_dreamer_tpu.data.synth import build_library
+        from osu_dreamer_tpu.osu import Beatmap
+
+        onsets = build_library(tmp_path / "Songs", 2, seconds=20.0, seed=3)
+        dirs = sorted((tmp_path / "Songs").iterdir())
+        assert len(dirs) == 2
+        for d in dirs:
+            maps = sorted(d.glob("*.osu"))
+            assert len(maps) == 2
+            for f in maps:
+                bm = Beatmap(f.read_text())
+                assert len(bm.hit_objects) > 8
+                assert 0 < bm.sr < 10
+
+        d = dirs[0]
+        spec = make_spec(load_wave(d / "audio.wav"))
+        ons = (onsets[d.name] / MS_PER_FRAME).astype(int)
+        ons = ons[ons < spec.shape[1] - 16]
+        col = spec[40:].mean(axis=0)  # the tonal bed lives in the low bins
+        mask = np.zeros(spec.shape[1], bool)
+        for k in range(-2, 14):
+            mask[np.clip(ons + k, 0, len(mask) - 1)] = True
+        onset_e = col[ons + 1].mean()
+        background = col[~mask].mean()
+        assert onset_e > 1.5 * background, (onset_e, background)
+
+
 class TestLocalIngest:
     def test_iter_local_samples(self, tmp_path):
         from osu_dreamer_tpu.data.ingest import iter_local_samples
