@@ -35,32 +35,48 @@ def _basis_uniform(L: int, n_ctrl: int) -> np.ndarray:
     return b
 
 
+@lru_cache(maxsize=4096)
+def _solver(L: int, n_ctrl: int, pin_start: bool, pin_end: bool):
+    """projector onto the free control points for the (span length, degree,
+    endpoint-pin) pattern. The whole least-squares system depends only on
+    this key — the MAP search re-solves it thousands of times per map with
+    different right-hand sides, so cache `P = (Tf'Tf)^-1 Tf'` once and each
+    fit is two small matmuls."""
+    T = _basis_uniform(L, n_ctrl)
+    free = np.ones(n_ctrl, dtype=bool)
+    if pin_start:
+        free[0] = False
+    if pin_end:
+        free[-1] = False
+    Tf = T[:, free]
+    # normal equations (degrees are small, float64 handles the squared
+    # conditioning; fall back to pinv on a singular system)
+    try:
+        P = np.linalg.solve(Tf.T @ Tf, Tf.T)
+    except np.linalg.LinAlgError:
+        P = np.linalg.pinv(Tf)
+    for a in (T, free, P):
+        a.setflags(write=False)
+    return T, free, P
+
+
 def _fit_segment_resid(
     points: np.ndarray, n_ctrl: int, pin_start: bool, pin_end: bool
 ) -> tuple[BezierPath, np.ndarray]:
     """core fit; returns (curve, per-point residual vectors (L, 2))"""
-    L = points.shape[0]
-    T = _basis_uniform(L, n_ctrl)
+    T, free, P = _solver(points.shape[0], n_ctrl, pin_start, pin_end)
 
-    ctrl = np.zeros((n_ctrl, 2))
-    free = np.ones(n_ctrl, dtype=bool)
+    ctrl = np.empty((n_ctrl, 2))
     if pin_start:
-        free[0] = False
         ctrl[0] = points[0]
     if pin_end:
-        free[-1] = False
         ctrl[-1] = points[-1]
 
-    # move pinned columns to the right-hand side, solve for the free ones
-    # via the normal equations (degrees are small, float64 handles the
-    # squared conditioning; fall back to lstsq on a singular system)
-    Tf = T[:, free]
-    rhs = points - T[:, ~free] @ ctrl[~free]
-    try:
-        sol = np.linalg.solve(Tf.T @ Tf, Tf.T @ rhs)
-    except np.linalg.LinAlgError:
-        sol, *_ = np.linalg.lstsq(Tf, rhs, rcond=None)
-    ctrl[free] = sol
+    # move pinned columns to the right-hand side, project for the free ones
+    rhs = points
+    if not free.all():
+        rhs = points - T[:, ~free] @ ctrl[~free]
+    ctrl[free] = P @ rhs
 
     return BezierPath(ctrl), T @ ctrl - points
 

@@ -46,23 +46,28 @@ def fit_slider(
     inv_two_var = 1.0 / (2.0 * noise_scale**2)
 
     best_cost = np.inf
-    best: tuple[str, float, list[np.ndarray]] = ("B", 0.0, [])
+    # (type, curve list | precomputed (length, ctrl)) — lengths and integer
+    # control points are only materialized for the winner: GL-quadrature
+    # lengths + rounding across every candidate was ~40% of fitter time
+    best_type = "B"
+    best_curves: list = []
+    best_final: tuple[float, list[np.ndarray]] | None = (0.0, [])
 
-    def consider(cost: float, curve_type: str, length: float, ctrl: list[np.ndarray]):
-        nonlocal best_cost, best
+    def consider(cost: float, curve_type: str, curves: list) -> None:
+        nonlocal best_cost, best_type, best_curves, best_final
         if cost < best_cost:
             best_cost = cost
-            best = (curve_type, length, ctrl)
+            best_type = curve_type
+            best_curves = curves
+            best_final = None
 
-    def rounded(curves) -> list[np.ndarray]:
-        # concatenated segments reproduce osu!'s repeated-point boundaries
-        return [p.round().astype(int) for c in curves for p in c.pts]
-
-    # 1. perfect arc
+    # 1. perfect arc (length/ctrl come out of the fit itself — precomputed)
     arc = fit_arc(points)
     if arc is not None:
         sse, length, ctrl = arc
-        consider(sse * inv_two_var - log_prior_arc(), "P", length, ctrl)
+        consider(sse * inv_two_var - log_prior_arc(), "P", [])
+        if best_final is None:
+            best_final = (length, ctrl)
 
     # 2. single bezier, cheapest prior first (the prior is not monotonic in
     #    degree: the cubic spike beats the quadratic)
@@ -74,7 +79,7 @@ def fit_slider(
         if penalty >= best_cost:
             break  # all remaining single beziers pay at least this much
         curve, sse = fit_segment(points, n_ctrl)
-        consider(sse * inv_two_var + penalty, "B", curve.length, rounded([curve]))
+        consider(sse * inv_two_var + penalty, "B", [curve])
 
     # 3. poly-line then poly-bezier, growing segment counts
     for n_ctrl, all_lines in ((2, True), (4, False)):
@@ -85,10 +90,14 @@ def fit_slider(
             consider(
                 sse * inv_two_var - log_prior_poly(m, all_lines),
                 "B",
-                float(sum(c.length for c in curves)),
-                rounded(curves),
+                list(curves),
             )
             if -log_prior_poly(m + 1, all_lines) >= best_cost:
                 break  # the penalty only grows from here
 
-    return best
+    if best_final is None:
+        length = float(sum(c.length for c in best_curves))
+        # concatenated segments reproduce osu!'s repeated-point boundaries
+        ctrl = [p.round().astype(int) for c in best_curves for p in c.pts]
+        best_final = (length, ctrl)
+    return best_type, best_final[0], best_final[1]
