@@ -50,11 +50,15 @@ def _solver(L: int, n_ctrl: int, pin_start: bool, pin_end: bool):
         free[-1] = False
     Tf = T[:, free]
     # normal equations (degrees are small, float64 handles the squared
-    # conditioning; fall back to pinv on a singular system)
-    try:
-        P = np.linalg.solve(Tf.T @ Tf, Tf.T)
-    except np.linalg.LinAlgError:
+    # conditioning); an (under)determined system — possible only outside the
+    # MAP search's n_ctrl <= L envelope — falls back to the min-norm pinv
+    gram = Tf.T @ Tf
+    if Tf.shape[1] == 0:  # fully pinned (2-point segment): nothing to solve
+        P = Tf.T
+    elif Tf.shape[0] < Tf.shape[1] or np.linalg.cond(gram) > 1e12:
         P = np.linalg.pinv(Tf)
+    else:
+        P = np.linalg.solve(gram, Tf.T)
     for a in (T, free, P):
         a.setflags(write=False)
     return T, free, P

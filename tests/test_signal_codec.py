@@ -211,3 +211,70 @@ class TestFullRoundTrip:
             else:
                 assert isinstance(back, Circle)
                 np.testing.assert_allclose(back.start_pos(), orig.start_pos(), atol=6)
+
+
+class TestSliderFitter:
+    def test_cached_projector_matches_direct_lstsq(self):
+        """the (span length, degree, pin pattern)-keyed projector cache must
+        reproduce a from-scratch least-squares solve for every pin pattern"""
+        from osu_dreamer_tpu.signal.fit.bezier_fit import (
+            _fit_segment_resid,
+            bernstein_basis,
+        )
+
+        rng = np.random.default_rng(7)
+        for L in (5, 23, 80):
+            points = rng.uniform(0, 400, (L, 2))
+            for n_ctrl in (2, 3, min(5, L), min(8, L)):
+                for pin_start in (False, True):
+                    for pin_end in (False, True):
+                        curve, resid = _fit_segment_resid(
+                            points, n_ctrl, pin_start, pin_end
+                        )
+                        T = bernstein_basis(np.linspace(0, 1, L), n_ctrl)
+                        ctrl = np.zeros((n_ctrl, 2))
+                        free = np.ones(n_ctrl, bool)
+                        if pin_start:
+                            free[0] = False
+                            ctrl[0] = points[0]
+                        if pin_end:
+                            free[-1] = False
+                            ctrl[-1] = points[-1]
+                        rhs = points - T[:, ~free] @ ctrl[~free]
+                        sol, *_ = np.linalg.lstsq(T[:, free], rhs, rcond=None)
+                        ctrl[free] = sol
+                        np.testing.assert_allclose(curve.pts, ctrl, atol=1e-8)
+                        np.testing.assert_allclose(
+                            resid, T @ ctrl - points, atol=1e-8
+                        )
+                        if pin_start:
+                            np.testing.assert_allclose(curve.pts[0], points[0])
+                        if pin_end:
+                            np.testing.assert_allclose(curve.pts[-1], points[-1])
+
+    def test_winner_finalization(self):
+        """fit_slider materializes length/control points only for the winning
+        candidate — check the returned values are consistent for a clean arc
+        and a clean cubic (the two family branches)"""
+        from osu_dreamer_tpu.osu.paths import BezierPath
+        from osu_dreamer_tpu.signal.fit import fit_slider
+
+        # clean circular arc -> P type, length ~= R * sweep
+        theta = np.linspace(0.3, 2.1, 60)
+        arc = np.stack([250 + 120 * np.cos(theta), 200 + 120 * np.sin(theta)])
+        ctype, length, ctrl = fit_slider(arc, 0, arc.shape[1] - 1, 1)
+        assert ctype == "P"
+        assert length == pytest.approx(120 * (2.1 - 0.3), rel=0.02)
+        assert len(ctrl) == 3
+
+        # clean S-shaped cubic -> B type, length matches the fitted curve's
+        pts = np.array([[50.0, 50.0], [150, 300], [350, -100], [450, 150]])
+        path = BezierPath(pts)
+        t = np.linspace(0, 1, 80)
+        cubic = path.at(t).T
+        ctype, length, ctrl = fit_slider(cubic, 0, cubic.shape[1] - 1, 1)
+        assert ctype == "B"
+        assert length == pytest.approx(path.length, rel=0.02)
+        fitted = np.asarray(ctrl, float)
+        np.testing.assert_allclose(fitted[0], pts[0], atol=3)
+        np.testing.assert_allclose(fitted[-1], pts[-1], atol=3)
