@@ -33,6 +33,9 @@ class FitArgs:
     monitor_mode: str = "min"
     early_stop_patience: int = 0  # 0: disabled
     early_stop_min_delta: float = 0.0
+    # run validation/best-checkpointing every N epochs (the final epoch
+    # always validates); early stopping counts only validated epochs
+    val_every: int = 1
     # refresh the rolling `last` checkpoint at most this often (a full save
     # fetches the whole TrainState off-device); a new best always saves
     save_last_every_s: float = 60.0
@@ -105,11 +108,16 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
                 )
 
             # --- validation + checkpointing ---
+            # validation (a full sweep of the val set + metric jits) can
+            # dwarf short epochs; val_every thins it, the final epoch always
+            # validates so `best` reflects the finished run
+            is_final = (args.max_epochs >= 0 and epoch == args.max_epochs - 1) or stop
+            run_val = (epoch + 1) % max(1, args.val_every) == 0 or is_final
             val_metrics: dict[str, float] = {}
-            if stage.validate is not None:
+            if run_val and stage.validate is not None:
                 val_metrics = stage.validate(state)
                 logger.scalars(val_metrics, int(state.step))
-            if stage.on_validation is not None:
+            if run_val and stage.on_validation is not None:
                 stage.on_validation(state, int(state.step), logger)
 
             improved = keeper.update(state, stage.hparams, val_metrics)

@@ -253,3 +253,47 @@ class TestCheckpointRobustness:
         # a new save must not mutate best through the link
         keeper.update(state, {}, {"val/loss": 2.0})
         assert best_meta.exists() and last_meta.stat().st_ino != best_meta.stat().st_ino
+
+
+class TestFitLoop:
+    def test_val_every_thins_validation(self, tmp_path):
+        """validation runs every val_every epochs plus the final epoch, and
+        `best` is only promoted on validated epochs"""
+        import optax
+
+        from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
+        from osu_dreamer_tpu.train.state import create_train_state
+
+        params = {"w": jnp.zeros(3)}
+        state = create_train_state(params, optax.sgd(0.1), jax.random.PRNGKey(0))
+
+        def train_step(st, batch):
+            return st.replace(step=st.step + 1), {"loss": 1.0}
+
+        val_epochs = []
+
+        def validate(st):
+            val_epochs.append(int(st.step))
+            return {"val/loss": 1.0 / int(st.step)}
+
+        stage = Stage(
+            name="t",
+            hparams={},
+            state=state,
+            train_step=train_step,
+            train_stream=lambda epoch: [None, None],  # 2 steps/epoch
+            validate=validate,
+        )
+        fit(
+            stage,
+            FitArgs(
+                run_dir=str(tmp_path / "run"),
+                max_epochs=7,
+                val_every=3,
+                save_last_every_s=0.0,
+            ),
+        )
+        # validated after epochs 2, 5 (1-indexed 3rd/6th) and the final 7th
+        assert val_epochs == [6, 12, 14]
+        meta = json.loads((tmp_path / "run" / "best" / "meta.json").read_text())
+        assert meta["metric"] == pytest.approx(1.0 / 14)
