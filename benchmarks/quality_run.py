@@ -95,6 +95,11 @@ def main() -> None:
     ap.add_argument("--style-batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--holdout-songs", type=int, default=2)
+    ap.add_argument(
+        "--reuse", action="store_true",
+        help="skip stages whose best checkpoint already exists in --outdir "
+        "(resume an interrupted run without refitting finished stages)",
+    )
     args = ap.parse_args()
 
     from click.testing import CliRunner
@@ -137,7 +142,7 @@ def main() -> None:
 
     latent_cfg = stage_cfg(
         load_default("latent"), data_dir, runs / "latent",
-        max_epochs=args.epochs_latent, early_stop_patience=0,
+        max_epochs=args.epochs_latent, early_stop_patience=0, val_every=2,
     )
     latent_cfg["data"].update(
         batch_size=args.latent_batch, max_per_map=4, max_val_count=4,
@@ -145,9 +150,10 @@ def main() -> None:
     )
     latent_cfg["train"]["opt"]["schedule"] = {"warmup_init": 0.1, "warmup_steps": 50}
 
+    # validation dominates the short epochs of this small corpus; thin it
     diff_cfg = stage_cfg(
         load_default("diffusion"), data_dir, runs / "denoiser",
-        max_epochs=args.epochs_denoiser,
+        max_epochs=args.epochs_denoiser, val_every=5,
     )
     diff_cfg["data"].update(
         batch_size=args.denoiser_batch, max_per_map=2, max_val_count=4,
@@ -157,7 +163,7 @@ def main() -> None:
 
     style_cfg = stage_cfg(
         load_default("style"), data_dir, runs / "style",
-        max_epochs=args.epochs_style,
+        max_epochs=args.epochs_style, val_every=5,
     )
     # style sees ONE sample per map (its dataset is the per-map (s, labels)
     # pairs); clamp the batch so tiny --mapsets runs still form a batch
@@ -181,8 +187,15 @@ def main() -> None:
         ("style", style_cfg, fit_style),
     ):
         if name == "encode":
+            # idempotent without --force: cached latents from a reused latent
+            # stage are already consistent with its checkpoint
             cli("encode-latents", "--latent-ckpt-path", str(ckpt("latent")),
-                "--data-dir", str(data_dir), "--force")
+                "--data-dir", str(data_dir), *([] if args.reuse else ["--force"]))
+            continue
+        if args.reuse and (runs / name / "best").exists():
+            print(f"[quality] reusing existing {name} best checkpoint", file=sys.stderr)
+            meta = json.loads((runs / name / "best" / "meta.json").read_text())
+            metrics[f"{name}/{cfg['fit']['monitor']}"] = meta["metric"]
             continue
         print(f"[quality] fitting {name}...", file=sys.stderr)
         cfg_path = out / f"{name}.yml"
