@@ -169,3 +169,37 @@ class TestTempoInference:
             assert any(abs(est - bpm * m) < 0.03 * bpm * m for m in (0.5, 1.0, 2.0)), (
                 f"bpm {bpm}: estimated {est:.1f}")
             assert 0.0 <= offset < beat_len
+
+
+class TestOnsetMatch:
+    """benchmarks/quality_run.py greedy onset matcher"""
+
+    def _match(self, pred, true, tol=24.0):
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent.parent / "benchmarks"))
+        from quality_run import onset_match
+
+        return onset_match(np.asarray(pred, float), np.asarray(true, float), tol)
+
+    def test_perfect(self):
+        p, r, f1 = self._match([100, 200, 300], [100, 200, 300])
+        assert (p, r, f1) == (1.0, 1.0, 1.0)
+
+    def test_one_to_one_no_double_count(self):
+        # two predictions near one truth: only one true positive
+        p, r, f1 = self._match([100, 104], [100])
+        assert p == 0.5 and r == 1.0
+
+    def test_tolerance_boundary(self):
+        p, r, _ = self._match([124.0, 500.0], [100.0, 520.0])
+        assert p == 1.0 and r == 1.0  # both within 24 ms
+        p, r, _ = self._match([125.0], [100.0])
+        assert p == 0.0  # past tolerance
+
+    def test_empty_safe(self):
+        p, r, f1 = self._match([], [100])
+        assert (p, r, f1) == (0.0, 0.0, 0.0)
+        p, r, f1 = self._match([100], [])
+        assert (p, r, f1) == (0.0, 0.0, 0.0)
