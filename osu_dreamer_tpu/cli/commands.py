@@ -190,12 +190,13 @@ def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, 
 @click.option("--audio-file", "audio_files", type=file_opt, required=True, multiple=True, help="audio file(s) to map; repeatable for bulk generation")
 @click.option("--diff", type=(float, float, float, float, float), multiple=True, help="difficulty conditioning (sr, ar, od, cs, hp); repeatable")
 @click.option("--sample-steps", type=int, default=8, help="number of diffusion steps")
+@click.option("--style-guidance", type=float, default=1.0, help="classifier-free guidance over the style prior's null labels; 1.0 = plain conditional sampling (the reference's behavior), >1 sharpens difficulty adherence")
 @click.option("--title", type=str, help="song title (read from audio tags when omitted; single audio file only)")
 @click.option("--artist", type=str, help="song artist (read from audio tags when omitted; single audio file only)")
 @click.option("--seed", type=int, default=None, help="sampling seed (default: random)")
 @click.option("--infer-tempo", is_flag=True, help="estimate BPM/offset from the predicted onsets (beyond the reference, which emits a slider-velocity-derived tempo)")
 @click.option("--serialize-workers", type=click.IntRange(min=1), default=None, help="host processes decoding .osu files in bulk mode (default: up to 4; 1 = in-process)")
-def predict(model_path, audio_files, diff, sample_steps, title, artist, seed, infer_tempo, serialize_workers):
+def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, artist, seed, infer_tempo, serialize_workers):
     """generate osu!std beatmaps from raw audio -> one .osz mapset per song.
 
     Bulk mode (repeated --audio-file): songs in the same ~6 s length class
@@ -229,7 +230,11 @@ def predict(model_path, audio_files, diff, sample_steps, title, artist, seed, in
     if n_osus > 1 and serialize_workers > 1:
         pool = _spawn_serialize_pool(serialize_workers)
 
-    sample = jax.jit(lambda p, sp, lb, k: model.apply(p, sp, lb, k, sample_steps))
+    sample = jax.jit(
+        lambda p, sp, lb, k: model.apply(
+            p, sp, lb, k, sample_steps, style_guidance=style_guidance
+        )
+    )
 
     # songs move: device sampling -> (pool) .osu decode -> .osz write; the
     # device never waits on the host tail

@@ -44,12 +44,13 @@ class LDM(nn.Module):
         rng: jax.Array,
         num_steps: int,
         style_steps: int = 16,
+        style_guidance: float = 1.0,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """-> ((B, Lpad, X_DIM) chart signal, (B, NUM_LABELS) predicted labels)"""
         rng_style, rng_z = jax.random.split(rng)
 
         skips, h = self.latent.encode_audio(spec)
-        s = self.style.sample(labels, rng_style, style_steps)
+        s = self.style.sample(labels, rng_style, style_steps, style_guidance)
         z = self.diffusion.sample(h, s, rng_z, num_steps)
         chart, out_labels = self.latent.decode(z, s, skips=skips)
         return chart, out_labels

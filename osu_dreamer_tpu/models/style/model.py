@@ -4,9 +4,11 @@ Capability parity with reference models/style/model.py: the same (u, v)
 distance-field scheme as the latent denoiser, on style vectors. Label
 conditioning embeds each of the 5 labels with random Fourier features and a
 per-label learned projection; negative labels (dropped / unspecified) use a
-learned null row (:42-47, CFG-style null training — no guidance scale is
-applied at sampling, matching the reference). Sampling is the same
-self-calibrating sphere tracing, as one ``lax.scan``.
+learned null row (:42-47, CFG-style null training). Sampling is the same
+self-calibrating sphere tracing, as one ``lax.scan``; an optional
+classifier-free guidance scale over the trained nulls goes beyond the
+reference (which trains the nulls but samples conditionally only) — the
+default 1.0 reproduces the reference exactly.
 """
 
 from __future__ import annotations
@@ -124,18 +126,47 @@ class StyleModel(nn.Module):
         return u, v
 
     def sample(
-        self, labels: jnp.ndarray, rng: jax.Array, num_steps: int = 16
+        self,
+        labels: jnp.ndarray,
+        rng: jax.Array,
+        num_steps: int = 16,
+        guidance: float = 1.0,
     ) -> jnp.ndarray:
-        """self-calibrating sphere tracing, one lax.scan (reference :102-119)"""
-        s0 = jax.random.normal(rng, (labels.shape[0], self.args.style_dim), jnp.float32)
+        """self-calibrating sphere tracing, one lax.scan (reference :102-119).
+
+        ``guidance`` > 1 applies classifier-free guidance over the learned
+        null-label row: the displacement field u*v is extrapolated
+        ``d_null + g*(d_cond - d_null)``. The reference trains the nulls
+        (label dropout, reference style/train.py:65) but never samples with
+        guidance; 1.0 reproduces its conditional-only sampling exactly (the
+        null branch is not even evaluated).
+        """
+        B = labels.shape[0]
+        s0 = jax.random.normal(rng, (B, self.args.style_dim), jnp.float32)
+
+        guided = guidance != 1.0
+        if guided:
+            # one 2B-batched pass per step: [conditional; all-null]
+            labels = jnp.concatenate(
+                [labels, jnp.full_like(labels, -1.0)], axis=0
+            )
+
+        def displacement(s):
+            if not guided:
+                u, v = self(s, labels)
+                return u[:, None] * v.astype(jnp.float32)
+            u, v = self(jnp.concatenate([s, s], axis=0), labels)
+            d = u[:, None] * v.astype(jnp.float32)
+            d_cond, d_null = d[:B], d[B:]
+            return d_null + guidance * (d_cond - d_null)
 
         sqrt_c0 = sqrt(self.args.c0)
-        u0 = self(s0, labels)[0].mean()
+        # calibrate eta from the conditional distance estimate
+        u0 = self(s0, labels[:B])[0].mean()
         eta = 1.0 - (sqrt_c0 / jnp.maximum(u0, sqrt_c0 + 1e-6)) ** (1.0 / num_steps)
 
         def step(s, _):
-            u, v = self(s, labels)
-            return s - eta * u[:, None] * v.astype(jnp.float32), None
+            return s - eta * displacement(s), None
 
         s, _ = jax.lax.scan(step, s0, None, length=num_steps)
         return s

@@ -145,3 +145,33 @@ class TestStyleStep:
         )(params, jnp.ones((5, 5)), KEY)
         assert out.shape == (5, 8)
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_sample_guidance(self):
+        """guidance=1 must reproduce plain conditional sampling bit-for-bit
+        (same program: the null branch is never built); guidance>1 changes
+        the samples but keeps them finite and shaped"""
+        from osu_dreamer_tpu.models.style import StyleModel
+
+        model = StyleModel(TINY_STYLE)
+        params = model.init(KEY, jnp.zeros((2, 8)), jnp.zeros((2, 5)))
+        # zero-init output heads make the displacement field identically
+        # zero at init (guidance would be invisible); randomize them
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+        params = jax.tree.unflatten(
+            treedef,
+            [l + 0.1 * jax.random.normal(k, l.shape, l.dtype)
+             for l, k in zip(leaves, keys)],
+        )
+        labels = jnp.tile(jnp.asarray([[3.0, 9.0, 8.0, 4.0, 5.0]]), (4, 1))
+
+        def sample(g):
+            return model.apply(
+                params, labels, KEY, 4, g, method=StyleModel.sample
+            )
+
+        base = np.asarray(sample(1.0))
+        guided = np.asarray(jax.jit(sample, static_argnums=0)(2.5))
+        assert guided.shape == base.shape == (4, 8)
+        assert np.isfinite(guided).all()
+        assert not np.allclose(guided, base)
