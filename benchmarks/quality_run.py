@@ -14,9 +14,9 @@ clicks, the WAE reconstructs onsets from audio+latents, the denoiser places
 latent onsets from audio features, and the serializer emits them at the
 right milliseconds.
 
-Usage (defaults sized for ~15 min on one TPU chip):
+Usage (defaults sized for ~1 h on one TPU chip):
     python benchmarks/quality_run.py [--mapsets 24] [--seconds 60]
-        [--outdir /tmp/quality_run] [--steps-latent 300] ...
+        [--outdir /tmp/quality_run] [--epochs-latent 30] [--reuse] ...
 
 Prints one JSON line with the per-stage best metrics and the held-out
 onset precision/recall/F1.
@@ -27,7 +27,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import re
 import sys
 import zipfile
 from pathlib import Path
@@ -97,10 +96,15 @@ def main() -> None:
     ap.add_argument("--holdout-songs", type=int, default=2)
     ap.add_argument(
         "--reuse", action="store_true",
-        help="skip stages whose best checkpoint already exists in --outdir "
-        "(resume an interrupted run without refitting finished stages)",
+        help="skip stages whose best checkpoint already exists in --outdir. "
+        "Only sound for stages that finished their fit: a stage interrupted "
+        "mid-run also leaves a `best` and would be reused at its underfit "
+        "quality — delete runs/<stage> first in that case",
     )
     args = ap.parse_args()
+    # predict is invoked from inside out/generated (the .osz lands in cwd);
+    # every path handed to the CLI must survive that chdir
+    args.outdir = args.outdir.resolve()
 
     from click.testing import CliRunner
 
@@ -180,6 +184,7 @@ def main() -> None:
 
     # ---- 3. train the three stages through the real fit entry points -----
     metrics: dict[str, float] = {}
+    latent_reused = False
     for name, cfg, fit_fn in (
         ("latent", latent_cfg, fit_latent),
         ("encode", None, None),
@@ -187,15 +192,18 @@ def main() -> None:
         ("style", style_cfg, fit_style),
     ):
         if name == "encode":
-            # idempotent without --force: cached latents from a reused latent
-            # stage are already consistent with its checkpoint
+            # cached latents are consistent with the checkpoint only when the
+            # latent stage itself was reused; a fresh fit must re-encode
             cli("encode-latents", "--latent-ckpt-path", str(ckpt("latent")),
-                "--data-dir", str(data_dir), *([] if args.reuse else ["--force"]))
+                "--data-dir", str(data_dir),
+                *([] if latent_reused else ["--force"]))
             continue
         if args.reuse and (runs / name / "best").exists():
             print(f"[quality] reusing existing {name} best checkpoint", file=sys.stderr)
             meta = json.loads((runs / name / "best" / "meta.json").read_text())
             metrics[f"{name}/{cfg['fit']['monitor']}"] = meta["metric"]
+            if name == "latent":
+                latent_reused = True
             continue
         print(f"[quality] fitting {name}...", file=sys.stderr)
         cfg_path = out / f"{name}.yml"

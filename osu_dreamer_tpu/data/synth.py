@@ -57,9 +57,11 @@ def make_mapset(
     n_difficulties: int = 2,
 ) -> tuple[list[str], np.ndarray, np.ndarray]:
     """-> (.osu texts, mono wave at SR, onset times in ms of the densest
-    difficulty). All difficulties share one rhythm grid (and therefore one
-    audio) but thin it differently and use different difficulty settings —
-    the same structure as a real mapset."""
+    difficulty). The densest difficulty (d0) realizes the rhythm grid; the
+    others place objects only at a SUBSET of d0's onsets (thinned, subject
+    to their own slider/spinner occupancy) and use easier difficulty
+    settings — the same structure as a real mapset, and it guarantees every
+    chart's hit times have a click in the shared audio."""
     bpm = float(rng.uniform(120, 200))
     beat_len = 60_000.0 / bpm
     offset = float(rng.uniform(400, 900))
@@ -80,12 +82,17 @@ def make_mapset(
     all_onsets: list[float] = []
     for d in range(n_difficulties):
         keep = 1.0 if d == 0 else rng.uniform(0.5, 0.75)
+        # non-densest difficulties draw from d0's EMITTED onsets, not the raw
+        # grid — slots d0 dropped (e.g. during its spinners) carry no click
+        # in the audio, and objects there would teach onsets without audio
+        # evidence
+        candidates = grid if d == 0 else list(all_onsets)
         objs: list[str] = []
         pos = rng.uniform([100, 100], [400, 280])
         t_free = 0.0  # next time the track is free (no overlapping objects)
         onsets: list[float] = []
         combo = 0
-        for i, tg in enumerate(grid):
+        for tg in candidates:
             if tg < t_free or (d > 0 and rng.random() > keep):
                 continue
             step = rng.uniform(40, 140)

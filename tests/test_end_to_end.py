@@ -5,7 +5,6 @@ This exercises every layer of the framework (SURVEY.md §7 step 4). Models
 are tiny and runs are a few steps; quality is not asserted — structure is.
 """
 
-import struct
 import zipfile
 from pathlib import Path
 
@@ -274,8 +273,6 @@ def test_full_pipeline(dataset_dir, tmp_path):
 
 
 def _write_wav(path, data: np.ndarray):
-    payload = (np.clip(data, -1, 1) * 32767).astype("<i2").tobytes()
-    with open(path, "wb") as f:
-        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
-        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, SR, SR * 2, 2, 16))
-        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+    from osu_dreamer_tpu.data.synth import write_wav
+
+    write_wav(Path(path), data)
