@@ -25,6 +25,7 @@ onset precision/recall/F1.
 from __future__ import annotations
 
 import argparse
+import copy
 import json
 import os
 import sys
@@ -42,7 +43,7 @@ import yaml
 
 
 def stage_cfg(base: dict, data_dir: Path, run_dir: Path, **fit_overrides) -> dict:
-    cfg = json.loads(json.dumps(base))  # deep copy
+    cfg = copy.deepcopy(base)
     cfg["data"]["data_dir"] = str(data_dir)
     cfg["fit"]["run_dir"] = str(run_dir)
     cfg["fit"].update(fit_overrides)
@@ -71,6 +72,9 @@ def onset_match(pred_ms: np.ndarray, true_ms: np.ndarray, tol_ms: float = 24.0):
 
 
 def hit_times_from_osu(text: str) -> np.ndarray:
+    """deliberately lenient (vs osu.Beatmap): generated charts can violate
+    monotonicity/overlap invariants the full parser rejects, and a scoring
+    harness must still count their onsets"""
     section = text.split("[HitObjects]")[1]
     times = []
     for line in section.strip().splitlines():
@@ -171,8 +175,10 @@ def main() -> None:
     )
     # style sees ONE sample per map (its dataset is the per-map (s, labels)
     # pairs); clamp the batch so tiny --mapsets runs still form a batch
+    from osu_dreamer_tpu.data.synth import DIFFS_PER_MAPSET
+
     n_val = min(8, int(args.mapsets * val_frac))
-    n_train_maps = 2 * (args.mapsets - n_val)  # build_library: 2 diffs/mapset
+    n_train_maps = DIFFS_PER_MAPSET * (args.mapsets - n_val)
     style_cfg["data"].update(
         batch_size=min(args.style_batch, max(1, n_train_maps)),
         max_val_count=8, max_val_frac=val_frac,

@@ -20,7 +20,9 @@ import numpy as np
 
 from osu_dreamer_tpu.audio import SR
 
-PLAYFIELD = np.array([512.0, 384.0])
+# difficulties per generated mapset (consumers sizing batches per map count
+# should use this rather than re-deriving it)
+DIFFS_PER_MAPSET = 2
 
 
 def _osu_text(
@@ -54,7 +56,7 @@ def _osu_text(
 def make_mapset(
     rng: np.random.Generator,
     seconds: float = 60.0,
-    n_difficulties: int = 2,
+    n_difficulties: int = DIFFS_PER_MAPSET,
 ) -> tuple[list[str], np.ndarray, np.ndarray]:
     """-> (.osu texts, mono wave at SR, onset times in ms of the densest
     difficulty). The densest difficulty (d0) realizes the rhythm grid; the

@@ -53,20 +53,21 @@ def fit_slider(
     best_curves: list = []
     best_final: tuple[float, list[np.ndarray]] | None = (0.0, [])
 
-    def consider(cost: float, curve_type: str, curves: list) -> None:
+    def consider(cost: float, curve_type: str, curves: list) -> bool:
         nonlocal best_cost, best_type, best_curves, best_final
-        if cost < best_cost:
-            best_cost = cost
-            best_type = curve_type
-            best_curves = curves
-            best_final = None
+        if cost >= best_cost:
+            return False
+        best_cost = cost
+        best_type = curve_type
+        best_curves = curves
+        best_final = None
+        return True
 
     # 1. perfect arc (length/ctrl come out of the fit itself — precomputed)
     arc = fit_arc(points)
     if arc is not None:
         sse, length, ctrl = arc
-        consider(sse * inv_two_var - log_prior_arc(), "P", [])
-        if best_final is None:
+        if consider(sse * inv_two_var - log_prior_arc(), "P", []):
             best_final = (length, ctrl)
 
     # 2. single bezier, cheapest prior first (the prior is not monotonic in
