@@ -36,10 +36,18 @@ def log(*a):
 
 
 def main() -> None:
+    from functools import partial
+
     import jax
     import jax.numpy as jnp
 
-    from osu_dreamer_tpu.audio import HOP_LEN, SR, make_spec_for_model
+    from osu_dreamer_tpu.audio import (
+        HOP_LEN,
+        SR,
+        make_spec_for_model,
+        prep_wave_for_model,
+        spec_for_model_jax,
+    )
     from osu_dreamer_tpu.models.inference import LDM, LDMArgs
 
     log(f"devices: {jax.devices()}")
@@ -72,31 +80,38 @@ def main() -> None:
     jax.block_until_ready(params)
     log(f"init: {time.time() - t0:.1f}s")
 
-    sample = jax.jit(
-        lambda p, sp, lb, k: model.apply(p, sp, lb, k, NUM_STEPS),
-    )
+    # featurizer + sampler fused into ONE device program (single dispatch per
+    # song — the relay round trip is material), matching the predict CLI
+    @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
+    def sample_wave(p, wave_i16, real_frames, n_frames, out_frames, lb, k):
+        sp = spec_for_model_jax(wave_i16, real_frames, n_frames, out_frames)
+        return model.apply(p, sp, lb, k, NUM_STEPS)
+
+    buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
+
+    def run_song(k):
+        return sample_wave(
+            params, jnp.asarray(buf), real_frames, n_frames, out_frames, labels, k
+        )
 
     # warmup / compile. NOTE: block_until_ready does not fully synchronize on
     # the tunneled backend — fetch a scalar to force execution end-to-end.
     t0 = time.time()
-    chart, out_labels = sample(params, spec, labels, key)
+    chart, out_labels = run_song(key)
     float(chart[0, 0, 0])
     log(f"compile+first run: {time.time() - t0:.1f}s; chart {chart.shape}")
 
     # steady-state warmup (the first few dispatches through the host link
     # run slow while buffers/relay warm up)
     for i in range(3):
-        spec_i = featurize(wave)
-        chart, _ = sample(params, spec_i, labels, jax.random.PRNGKey(100 + i))
+        chart, _ = run_song(jax.random.PRNGKey(100 + i))
         float(chart[0, 0, 0])
 
-    # timed runs (featurizer + full pipeline)
+    # timed runs (featurizer + full pipeline, one dispatch)
     times = []
     for i in range(5):
-        k = jax.random.PRNGKey(i + 1)
         t0 = time.time()
-        spec_i = featurize(wave)
-        chart, out_labels = sample(params, spec_i, labels, k)
+        chart, out_labels = run_song(jax.random.PRNGKey(i + 1))
         float(chart[0, 0, 0])
         times.append(time.time() - t0)
     per_map = float(np.median(times))
@@ -133,12 +148,15 @@ def main() -> None:
     t0 = time.time()
     pending = None
     for i in range(N_BULK):
-        spec_i = featurize(wave)
-        out = sample(params, spec_i, labels, jax.random.PRNGKey(200 + i))
+        out = run_song(jax.random.PRNGKey(200 + i))
+        # index NOW: the tiny gather enqueues directly behind song i's
+        # program. Indexing at fetch time would queue it behind song i+1's
+        # program too (in-order execution), serializing the pipeline.
+        probe = out[0][0, 0, 0]
         if pending is not None:
-            float(pending[0][0, 0, 0])  # fetch previous while current runs
-        pending = out
-    float(pending[0][0, 0, 0])
+            float(pending)  # previous song done; overlaps current compute
+        pending = probe
+    float(pending)
     bulk_dt = (time.time() - t0) / N_BULK
     log(f"bulk generation: {bulk_dt * 1000:.0f} ms/map = {60 / bulk_dt:.0f} maps/min sustained")
 

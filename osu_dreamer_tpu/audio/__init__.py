@@ -24,7 +24,13 @@ from .constants import (
 )
 from .decode import load_wave
 from .io import read_spec, write_spec
-from .spectrogram import make_spec, make_spec_for_model, make_spec_jax
+from .spectrogram import (
+    make_spec,
+    make_spec_for_model,
+    make_spec_jax,
+    prep_wave_for_model,
+    spec_for_model_jax,
+)
 
 __all__ = [
     "A_DIM",
@@ -42,6 +48,8 @@ __all__ = [
     "load_wave",
     "make_spec",
     "make_spec_for_model",
+    "prep_wave_for_model",
+    "spec_for_model_jax",
     "make_spec_jax",
     "read_spec",
     "write_spec",

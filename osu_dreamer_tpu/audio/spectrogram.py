@@ -148,9 +148,14 @@ def make_spec(wave: np.ndarray) -> np.ndarray:
     return np.asarray(spec[:, :n_frames])
 
 
-@partial(jax.jit, static_argnames=("n_frames", "out_frames"))
-def _spec_for_model(wave_i16: jax.Array, real_frames: jax.Array, n_frames: int, out_frames: int):
-    """real_frames is a TRACED scalar so compiles depend only on the wave
+def spec_for_model_jax(
+    wave_i16: jax.Array, real_frames: jax.Array, n_frames: int, out_frames: int
+) -> jax.Array:
+    """traceable core of ``make_spec_for_model``: compose it into a larger
+    jitted program (e.g. predict fuses it with the sampling pipeline so each
+    song costs ONE device dispatch).
+
+    real_frames is a TRACED scalar so compiles depend only on the wave
     bucket, not the exact song length (one compile per ~6 s size class)"""
     wave = wave_i16.astype(jnp.float32) / 32767.0
     states = _resonate_frames(wave, n_frames)
@@ -168,10 +173,11 @@ def _spec_for_model(wave_i16: jax.Array, real_frames: jax.Array, n_frames: int, 
     return sig[idx][None]  # (1, out_frames, F)
 
 
-def make_spec_for_model(wave: np.ndarray, chunk: int) -> jax.Array:
-    """device-resident featurize for inference: one host->device upload of
-    the (bucket-padded) wave; returns the chunk-aligned (1, Lp, F) spec as a
-    device array that feeds the model directly (no host round trip).
+def prep_wave_for_model(
+    wave: np.ndarray, chunk: int
+) -> tuple[np.ndarray, int, int, int]:
+    """host-side prep for ``spec_for_model_jax``:
+    -> (int16 bucket-padded wave, real_frames, n_frames, out_frames).
 
     The wave travels as int16 (audio sources are 16-bit; 96 dB SNR is far
     beyond the 60 dB display window) — host links are the E2E bottleneck and
@@ -187,6 +193,20 @@ def make_spec_for_model(wave: np.ndarray, chunk: int) -> jax.Array:
     # out length depends on the BUCKET, so downstream model compiles are
     # shared by every song in the same ~6 s size class
     out_frames = -(-n_frames // chunk) * chunk
+    return buf, real_frames, n_frames, out_frames
+
+
+_spec_for_model = jax.jit(spec_for_model_jax, static_argnames=("n_frames", "out_frames"))
+
+
+def make_spec_for_model(wave: np.ndarray, chunk: int) -> jax.Array:
+    """device-resident featurize for inference: one host->device upload of
+    the (bucket-padded) wave; returns the chunk-aligned (1, Lp, F) spec as a
+    device array that feeds the model directly (no host round trip).
+
+    predict does NOT use this two-dispatch path: it composes
+    ``spec_for_model_jax`` directly into its fused sampling program."""
+    buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
     return _spec_for_model(jnp.asarray(buf), real_frames, n_frames, out_frames)
 
 

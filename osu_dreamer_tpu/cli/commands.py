@@ -8,6 +8,7 @@ into the command bodies so `--help` stays instant.
 from __future__ import annotations
 
 import random
+from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -210,7 +211,12 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     import jax.numpy as jnp
     import numpy as np
 
-    from osu_dreamer_tpu.audio import HOP_LEN, load_wave, make_spec_for_model
+    from osu_dreamer_tpu.audio import (
+        HOP_LEN,
+        load_wave,
+        prep_wave_for_model,
+        spec_for_model_jax,
+    )
     from osu_dreamer_tpu.models.inference import load_inference
 
     if len(audio_files) > 1 and (title or artist):
@@ -230,11 +236,15 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     if n_osus > 1 and serialize_workers > 1:
         pool = _spawn_serialize_pool(serialize_workers)
 
-    sample = jax.jit(
-        lambda p, sp, lb, k: model.apply(
-            p, sp, lb, k, sample_steps, style_guidance=style_guidance
+    # featurizer + 3-stage sampler fused into ONE device program per song:
+    # a single dispatch (the relay round trip is material) and the spec never
+    # materializes as a host-visible intermediate
+    @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
+    def sample(p, wave_i16, real_frames, n_frames, out_frames, lb, k):
+        spec = spec_for_model_jax(wave_i16, real_frames, n_frames, out_frames)
+        return model.apply(
+            p, spec, lb, k, sample_steps, style_guidance=style_guidance
         )
-    )
 
     # songs move: device sampling -> (pool) .osu decode -> .osz write; the
     # device never waits on the host tail
@@ -267,10 +277,13 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         click.echo(f"[{i + 1}/{len(audio_files)}] {audio_file.name}: featurizing...")
         wave = load_wave(audio_file)
         L = max(1, -(-len(wave) // HOP_LEN))
-        spec = make_spec_for_model(wave, chunk)
+        buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
 
         click.echo(f"  sampling {labels.shape[0]} difficulties at {sample_steps} steps...")
-        chart, pred_labels = sample(params, spec, labels, jax.random.PRNGKey(base_seed + i))
+        chart, pred_labels = sample(
+            params, jnp.asarray(buf), real_frames, n_frames, out_frames,
+            labels, jax.random.PRNGKey(base_seed + i),
+        )
 
         if pending is not None:
             enqueue(*pending)  # overlaps the async device work above
