@@ -20,6 +20,20 @@ from .commands import (
 @click.group()
 def main():
     """osu!dreamer-tpu: generate osu!standard beatmaps from raw audio."""
+    # persistent XLA compile cache shared across CLI invocations: without it
+    # every `predict` pays the full pipeline compile (minutes on TPU) again.
+    # setdefault — an explicit JAX_COMPILATION_CACHE_DIR wins. Must run
+    # before the first jax import in the (lazily-importing) commands.
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "osu_dreamer_tpu", "jax",
+        ),
+    )
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 main.add_command(generate_data)

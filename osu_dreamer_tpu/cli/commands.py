@@ -197,13 +197,14 @@ def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, 
 @click.option("--seed", type=int, default=None, help="sampling seed (default: random)")
 @click.option("--infer-tempo", is_flag=True, help="estimate BPM/offset from the predicted onsets (beyond the reference, which emits a slider-velocity-derived tempo)")
 @click.option("--serialize-workers", type=click.IntRange(min=1), default=None, help="host processes decoding .osu files in bulk mode (default: up to 4; 1 = in-process)")
-def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, artist, seed, infer_tempo, serialize_workers):
+@click.option("--batch-songs", type=click.IntRange(min=1), default=1, help="songs sampled per device program in bulk mode. >1 batches songs of the same length class through one compiled pipeline (measured 67 -> 56 ms/map device time at 4); worth it for large bulk jobs, but each batch size compiles its own program first")
+def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, artist, seed, infer_tempo, serialize_workers, batch_songs):
     """generate osu!std beatmaps from raw audio -> one .osz mapset per song.
 
     Bulk mode (repeated --audio-file): songs in the same ~6 s length class
-    share one compiled pipeline, and host-side .osu serialization (the MAP
-    slider fitter is the CPU tail) fans out over worker processes while the
-    device samples the next song."""
+    are batched through one compiled pipeline (--batch-songs per dispatch),
+    and host-side .osu serialization (the MAP slider fitter is the CPU tail)
+    fans out over worker processes while the device samples the next batch."""
     import os
     from collections import deque
 
@@ -225,6 +226,10 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         diff = ((5.0, 9.0, 8.0, 4.0, 6.0),)
 
     model, params = load_inference(model_path)
+    # the artifact restores as host numpy arrays; pin them on device ONCE —
+    # passed raw to a jitted function they would re-upload the whole
+    # artifact (hundreds of MB) on every dispatch
+    params = jax.device_put(params)
     chunk = model.args.latent.chunk_size
     labels = jnp.asarray(diff, jnp.float32)
     base_seed = seed if seed is not None else random.randrange(2**31)
@@ -236,12 +241,17 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     if n_osus > 1 and serialize_workers > 1:
         pool = _spawn_serialize_pool(serialize_workers)
 
-    # featurizer + 3-stage sampler fused into ONE device program per song:
-    # a single dispatch (the relay round trip is material) and the spec never
-    # materializes as a host-visible intermediate
+    batch_songs = min(batch_songs, len(audio_files))
+
+    # featurizer + 3-stage sampler fused into ONE device program per BATCH of
+    # songs: a single dispatch (the relay round trip is material), the spec
+    # never materializes host-side, and the LDM batches songs x difficulties
+    # through the (small) models together
     @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
-    def sample(p, wave_i16, real_frames, n_frames, out_frames, lb, k):
-        spec = spec_for_model_jax(wave_i16, real_frames, n_frames, out_frames)
+    def sample(p, waves_i16, real_frames, n_frames, out_frames, lb, k):
+        spec = jax.vmap(
+            lambda w, rf: spec_for_model_jax(w, rf, n_frames, out_frames)[0]
+        )(waves_i16, real_frames)  # (S, out_frames, A_DIM)
         return model.apply(
             p, spec, lb, k, sample_steps, style_guidance=style_guidance
         )
@@ -271,27 +281,67 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
             audio_file, s_title, s_artist, results = queued.popleft()
             _write_mapset(audio_file, s_title, s_artist, [r.get() for r in results])
 
-    pending = None  # (audio_file, title, artist, L, chart, pred_labels)
+    D = labels.shape[0]
+
+    def dispatch(batch: list, batch_i: int):
+        """batch: list of (audio_file, title, artist, L, buf, real_frames),
+        all in the same (n_frames, out_frames) bucket"""
+        n_frames, out_frames = batch[0][6], batch[0][7]
+        rows = list(batch)
+        # pad partial batches by repeating the last song: a fresh compile
+        # per leftover batch size costs far more than the wasted rows
+        while len(rows) < batch_songs:
+            rows.append(rows[-1])
+        waves = jnp.asarray(np.stack([r[4] for r in rows]))
+        rfs = jnp.asarray(np.asarray([r[5] for r in rows], np.int32))
+        chart, pred_labels = sample(
+            params, waves, rfs, n_frames, out_frames,
+            labels, jax.random.PRNGKey(base_seed + batch_i),
+        )
+        return batch, chart, pred_labels
+
+    def enqueue_batch(batch, chart, pred_labels) -> None:
+        for s, (audio_file, s_title, s_artist, L, *_rest) in enumerate(batch):
+            enqueue(
+                audio_file, s_title, s_artist, L,
+                chart[s * D : (s + 1) * D], pred_labels[s * D : (s + 1) * D],
+            )
+
+    pending = None  # (batch, chart, pred_labels)
+    batch: list = []
+    batch_i = 0
     for i, audio_file in enumerate(audio_files):
         song_title, song_artist = _resolve_metadata(audio_file, title, artist)
         click.echo(f"[{i + 1}/{len(audio_files)}] {audio_file.name}: featurizing...")
         wave = load_wave(audio_file)
         L = max(1, -(-len(wave) // HOP_LEN))
         buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
+        entry = (audio_file, song_title, song_artist, L, buf, real_frames, n_frames, out_frames)
 
-        click.echo(f"  sampling {labels.shape[0]} difficulties at {sample_steps} steps...")
-        chart, pred_labels = sample(
-            params, jnp.asarray(buf), real_frames, n_frames, out_frames,
-            labels, jax.random.PRNGKey(base_seed + i),
-        )
+        # a bucket change or a full batch flushes the current one
+        if batch and (
+            len(batch) == batch_songs
+            or (batch[0][6], batch[0][7]) != (n_frames, out_frames)
+        ):
+            click.echo(f"  sampling {len(batch)} song(s) x {D} difficulties at {sample_steps} steps...")
+            out = dispatch(batch, batch_i)
+            batch_i += 1
+            batch = []
+            if pending is not None:
+                enqueue_batch(*pending)  # overlaps the async device work
+                flush(block=False)
+            pending = out
+        batch.append(entry)
 
+    if batch:
+        click.echo(f"  sampling {len(batch)} song(s) x {D} difficulties at {sample_steps} steps...")
+        out = dispatch(batch, batch_i)
         if pending is not None:
-            enqueue(*pending)  # overlaps the async device work above
+            enqueue_batch(*pending)
             flush(block=False)
-        pending = (audio_file, song_title, song_artist, L, chart, pred_labels)
-
+        pending = out
     if pending is not None:
-        enqueue(*pending)
+        enqueue_batch(*pending)
     flush(block=True)
     if pool is not None:
         pool.close()

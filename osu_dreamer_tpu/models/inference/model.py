@@ -39,17 +39,30 @@ class LDM(nn.Module):
 
     def __call__(
         self,
-        spec: jnp.ndarray,      # (1, Lpad, A_DIM) — audio, already chunk-padded
-        labels: jnp.ndarray,    # (B, NUM_LABELS)
+        spec: jnp.ndarray,      # (S, Lpad, A_DIM) — audio, already chunk-padded
+        labels: jnp.ndarray,    # (D, NUM_LABELS)
         rng: jax.Array,
         num_steps: int,
         style_steps: int = 16,
         style_guidance: float = 1.0,
     ) -> tuple[jnp.ndarray, jnp.ndarray]:
-        """-> ((B, Lpad, X_DIM) chart signal, (B, NUM_LABELS) predicted labels)"""
+        """-> ((S*D, Lpad, X_DIM) chart signal, (S*D, NUM_LABELS) predicted
+        labels), rows ordered song-major (song 0's D diffs first).
+
+        S == 1 (the reference's predict shape) keeps the broadcast path —
+        the audio encoding is computed once and #B-broadcast over the D
+        difficulty rows. S > 1 batches SONGS through one device program
+        (bulk generation: the models are small, so per-song dispatch leaves
+        the chip idle); each (song, diff) pair gets its own style sample."""
         rng_style, rng_z = jax.random.split(rng)
 
+        S = spec.shape[0]
         skips, h = self.latent.encode_audio(spec)
+        if S > 1:
+            D = labels.shape[0]
+            labels = jnp.tile(labels, (S, 1))                 # (S*D, 5)
+            h = jnp.repeat(h, D, axis=0)                      # (S*D, l, A)
+            skips = [jnp.repeat(sk, D, axis=0) for sk in skips]
         s = self.style.sample(labels, rng_style, style_steps, style_guidance)
         z = self.diffusion.sample(h, s, rng_z, num_steps)
         chart, out_labels = self.latent.decode(z, s, skips=skips)

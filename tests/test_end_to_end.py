@@ -212,8 +212,9 @@ def test_full_pipeline(dataset_dir, tmp_path):
         os.chdir(cwd)
     assert res.exit_code == 0, res.output
 
-    # bulk mode: several songs, .osu decoding fanned out over worker
-    # processes (spawn pool), one .osz per song
+    # bulk mode: several songs BATCHED through one device program
+    # (--batch-songs 2; both ~3-4 s songs share the same length bucket),
+    # .osu decoding fanned out over worker processes, one .osz per song
     wav2 = tmp_path / "song2.wav"
     _write_wav(wav2, np.sin(2 * np.pi * 330 * np.arange(SR * 3) / SR).astype(np.float32) * 0.5)
     bulk_dir = tmp_path / "bulk"
@@ -232,6 +233,7 @@ def test_full_pipeline(dataset_dir, tmp_path):
                 "--sample-steps", "2",
                 "--seed", "1",
                 "--serialize-workers", "2",
+                "--batch-songs", "2",
             ],
             catch_exceptions=False,
         )

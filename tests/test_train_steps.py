@@ -175,3 +175,37 @@ class TestStyleStep:
         assert guided.shape == base.shape == (4, 8)
         assert np.isfinite(guided).all()
         assert not np.allclose(guided, base)
+
+
+class TestLDMSongBatching:
+    def test_batched_songs_song_major_and_no_cross_talk(self):
+        """S>1 batches songs through one program: output rows are song-major
+        (S*D), and each song's audio encoding equals its solo encoding (no
+        leakage across the batch dim)"""
+        from osu_dreamer_tpu.models.inference import LDM, LDMArgs
+
+        args = LDMArgs(latent=TINY_LATENT, style=TINY_STYLE, diffusion=TINY_DIFFUSION)
+        model = LDM(args)
+        Lp = 4 * TINY_LATENT.chunk_size
+        spec = jax.random.uniform(jax.random.PRNGKey(1), (2, Lp, 72))
+        labels = jnp.asarray([[5.0, 9, 8, 4, 6], [3.0, 7, 6, 3, 5], [1.0, 4, 3, 2, 4]])
+        params = model.init(KEY, spec[:1], labels, KEY, 1, 1)
+
+        chart, out_labels = model.apply(params, spec, labels, KEY, 2, 2)
+        assert chart.shape == (6, Lp, 9) and out_labels.shape == (6, 5)
+        assert np.isfinite(np.asarray(chart)).all()
+
+        # per-song audio encodings must match the solo path exactly
+        def enc(sp):
+            return model.apply(params, sp, method=lambda m, sp: m.latent.encode_audio(sp))
+
+        _, h_batch = enc(spec)
+        for s in range(2):
+            _, h_solo = enc(spec[s : s + 1])
+            np.testing.assert_allclose(
+                np.asarray(h_batch[s]), np.asarray(h_solo[0]), atol=1e-5
+            )
+
+        # determinism: same key -> same charts
+        chart2, _ = model.apply(params, spec, labels, KEY, 2, 2)
+        np.testing.assert_array_equal(np.asarray(chart), np.asarray(chart2))
