@@ -10,6 +10,7 @@ stays a pure function of its TrainState.
 from __future__ import annotations
 
 import time
+from contextlib import nullcontext
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable, Iterable, Optional
@@ -19,7 +20,7 @@ import numpy as np
 
 from .checkpoint import BestCheckpointKeeper, restore_train_state
 from .logging import MetricsLogger
-from .profiling import StepTimer
+from .profiling import StepTimer, device_trace
 from .state import TrainState
 
 
@@ -36,6 +37,10 @@ class FitArgs:
     # run validation/best-checkpointing every N epochs (the final epoch
     # always validates); early stopping counts only validated epochs
     val_every: int = 1
+    # capture a jax.profiler device trace of this epoch into
+    # <run_dir>/trace (view in TensorBoard's profile plugin / Perfetto);
+    # -1 = off. Pick a steady-state epoch (0 is compile-heavy)
+    trace_epoch: int = -1
     # refresh the rolling `last` checkpoint at most this often (a full save
     # fetches the whole TrainState off-device); a new best always saves
     save_last_every_s: float = 60.0
@@ -84,20 +89,29 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
         while not stop and (args.max_epochs < 0 or epoch < args.max_epochs):
             epoch_t0 = time.time()
             n_batches = 0
-            for batch in stage.train_stream(epoch):
-                state, metrics = stage.train_step(state, batch)
-                timer.tick()
-                n_batches += 1
-                step = int(state.step)
-                if step % args.log_every == 0:
-                    logger.scalars(
-                        {k: v for k, v in metrics.items()}, step, prefix="train/"
-                    )
-                    if timer.steps_per_sec > 0:
-                        logger.scalars({"steps_per_sec": timer.steps_per_sec}, step, prefix="perf/")
-                if args.max_steps > 0 and step >= args.max_steps:
-                    stop = True
-                    break
+            trace_ctx = (
+                device_trace(run_dir / "trace")
+                if epoch == args.trace_epoch
+                else nullcontext()
+            )
+            with trace_ctx:
+                for batch in stage.train_stream(epoch):
+                    state, metrics = stage.train_step(state, batch)
+                    timer.tick()
+                    n_batches += 1
+                    step = int(state.step)
+                    if step % args.log_every == 0:
+                        logger.scalars(
+                            {k: v for k, v in metrics.items()}, step, prefix="train/"
+                        )
+                        if timer.steps_per_sec > 0:
+                            logger.scalars({"steps_per_sec": timer.steps_per_sec}, step, prefix="perf/")
+                    if args.max_steps > 0 and step >= args.max_steps:
+                        stop = True
+                        break
+                if epoch == args.trace_epoch:
+                    # the trace must cover real device work: block before exit
+                    jax.block_until_ready(state.params)
 
             if n_batches == 0:
                 raise RuntimeError(

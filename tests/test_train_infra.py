@@ -297,3 +297,32 @@ class TestFitLoop:
         assert val_epochs == [6, 12, 14]
         meta = json.loads((tmp_path / "run" / "best" / "meta.json").read_text())
         assert meta["metric"] == pytest.approx(1.0 / 14)
+
+    def test_trace_epoch_writes_profile(self, tmp_path):
+        """fit.trace_epoch captures a device trace into <run_dir>/trace"""
+        import optax
+
+        from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
+        from osu_dreamer_tpu.train.state import create_train_state
+
+        state = create_train_state(
+            {"w": jnp.zeros(3)}, optax.sgd(0.1), jax.random.PRNGKey(0)
+        )
+        stage = Stage(
+            name="t",
+            hparams={},
+            state=state,
+            train_step=lambda st, b: (st.replace(step=st.step + 1), {"loss": 1.0}),
+            train_stream=lambda epoch: [None],
+            validate=lambda st: {"val/loss": 1.0},
+        )
+        fit(
+            stage,
+            FitArgs(
+                run_dir=str(tmp_path / "run"), max_epochs=2, trace_epoch=1,
+                save_last_every_s=0.0,
+            ),
+        )
+        trace_dir = tmp_path / "run" / "trace"
+        assert trace_dir.exists()
+        assert list(trace_dir.rglob("*.xplane.pb")), "no trace artifact written"
