@@ -160,6 +160,36 @@ def main() -> None:
     bulk_dt = (time.time() - t0) / N_BULK
     log(f"bulk generation: {bulk_dt * 1000:.0f} ms/map = {60 / bulk_dt:.0f} maps/min sustained")
 
+    # batched bulk: S songs per device program (predict --batch-songs), the
+    # deepest pipelining the chip offers for mass generation
+    S = 4
+    waves_b = jnp.asarray(np.stack([buf] * S))
+    rfs_b = jnp.asarray(np.asarray([real_frames] * S, np.int32))
+
+    @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
+    def sample_batch(p, waves, rfs, n_frames, out_frames, lb, k):
+        sp = jax.vmap(
+            lambda w, r: spec_for_model_jax(w, r, n_frames, out_frames)[0]
+        )(waves, rfs)
+        return model.apply(p, sp, lb, k, NUM_STEPS)
+
+    def run_batch(k):
+        return sample_batch(params, waves_b, rfs_b, n_frames, out_frames, labels, k)
+
+    out = run_batch(jax.random.PRNGKey(300))  # compile
+    float(out[0][0, 0, 0])
+    t0 = time.time()
+    pending = None
+    for i in range(4):
+        out = run_batch(jax.random.PRNGKey(301 + i))
+        probe = out[0][0, 0, 0]
+        if pending is not None:
+            float(pending)
+        pending = probe
+    float(pending)
+    bdt = (time.time() - t0) / (4 * S)
+    log(f"batched bulk (S={S}): {bdt * 1000:.0f} ms/map = {60 / bdt:.0f} maps/min sustained")
+
     print(
         json.dumps(
             {
