@@ -243,6 +243,23 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
 
     batch_songs = min(batch_songs, len(audio_files))
 
+    # data-parallel generation: with multiple devices visible and a song
+    # batch to spread, shard the song axis over a 1-D `data` mesh — params
+    # replicate, every per-song op is embarrassingly parallel, and XLA
+    # runs each shard on its own chip (same mesh machinery as training DP)
+    song_sharding = None
+    n_dev = jax.local_device_count()
+    if n_dev > 1 and batch_songs > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from osu_dreamer_tpu.parallel import data_parallel_mesh, replicate
+
+        batch_songs = max(n_dev, batch_songs - batch_songs % n_dev)
+        mesh = data_parallel_mesh()
+        params = replicate(params, mesh)
+        song_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        click.echo(f"[parallel] sharding {batch_songs}-song batches over {n_dev} devices")
+
     # featurizer + 3-stage sampler fused into ONE device program per BATCH of
     # songs: a single dispatch (the relay round trip is material), the spec
     # never materializes host-side, and the LDM batches songs x difficulties
@@ -289,11 +306,17 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         n_frames, out_frames = batch[0][6], batch[0][7]
         rows = list(batch)
         # pad partial batches by repeating the last song: a fresh compile
-        # per leftover batch size costs far more than the wasted rows
+        # per leftover batch size costs far more than the wasted rows (and
+        # the song axis must stay divisible by the data mesh)
         while len(rows) < batch_songs:
             rows.append(rows[-1])
-        waves = jnp.asarray(np.stack([r[4] for r in rows]))
-        rfs = jnp.asarray(np.asarray([r[5] for r in rows], np.int32))
+        waves = np.stack([r[4] for r in rows])
+        rfs = np.asarray([r[5] for r in rows], np.int32)
+        if song_sharding is not None:
+            waves = jax.device_put(waves, song_sharding)
+            rfs = jax.device_put(rfs, song_sharding)
+        else:
+            waves, rfs = jnp.asarray(waves), jnp.asarray(rfs)
         chart, pred_labels = sample(
             params, waves, rfs, n_frames, out_frames,
             labels, jax.random.PRNGKey(base_seed + batch_i),

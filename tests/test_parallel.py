@@ -208,3 +208,65 @@ print("dp-fit-ok", int(state.step))
     assert "[parallel] data-parallel over 8 devices" in out
     assert "dp-fit-ok" in out
     assert (tmp_path / "run" / "best").exists()
+
+
+@pytest.mark.slow
+def test_predict_data_parallel_song_batch(tmp_path):
+    """bulk predict shards the song batch over the 8-device data mesh and
+    still writes one valid .osz per input song"""
+    out = run_child(
+        f"""
+import numpy as np, jax
+assert len(jax.devices()) == 8
+from osu_dreamer_tpu.models.inference import LDM, LDMArgs
+from osu_dreamer_tpu.models.inference.artifact import build_artifact_bytes
+from osu_dreamer_tpu.models.latent import LatentModelArgs
+from osu_dreamer_tpu.models.latent.model import StackArgs
+from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+from osu_dreamer_tpu.models.diffusion.model import BackboneArgs
+from osu_dreamer_tpu.models.style import StyleModelArgs
+from osu_dreamer_tpu.data.synth import write_wav
+from osu_dreamer_tpu.audio import SR
+from pathlib import Path
+import jax.numpy as jnp
+
+args = LDMArgs(
+    latent=LatentModelArgs(emb_dim=4, style_dim=8, n_downs=2, stride=3, h_dim=16,
+                           stack=StackArgs(n_layers=1, expand=2, radius=1),
+                           style_head_dim=8, style_heads=2),
+    diffusion=DiffusionModelArgs(emb_dim=4, a_dim=16, style_dim=8, global_cond_dim=16,
+                                 backbone_dim=16, u_head_dim=8,
+                                 backbone=BackboneArgs(depth=1, expand=2, head_dim=8,
+                                                       n_heads=2, radius=1)),
+    style=StyleModelArgs(style_dim=8, label_features=16, h_dim=16, depth=1, expand=2),
+)
+model = LDM(args)
+Lp = 4 * args.latent.chunk_size
+key = jax.random.PRNGKey(0)
+params = model.init(key, jnp.zeros((1, Lp, 72)), jnp.zeros((1, 5)), key, 1, 1)
+art = Path(r"{tmp_path}") / "inference.odt"
+art.write_bytes(build_artifact_bytes(args, params))
+
+tdir = Path(r"{tmp_path}")
+for k in range(2):
+    t = np.arange(SR * 2) / SR
+    write_wav(tdir / f"s{{k}}.wav", (0.4 * np.sin(2 * np.pi * (220 + 50 * k) * t)).astype(np.float32))
+
+import os
+os.chdir(tdir)
+from click.testing import CliRunner
+from osu_dreamer_tpu.cli import main
+res = CliRunner().invoke(main, [
+    "predict", "--model-path", str(art),
+    "--audio-file", str(tdir / "s0.wav"), "--audio-file", str(tdir / "s1.wav"),
+    "--diff", "5", "9", "8", "4", "6", "--sample-steps", "2", "--seed", "0",
+    "--batch-songs", "2", "--serialize-workers", "1",
+], catch_exceptions=False)
+assert res.exit_code == 0, res.output
+assert "[parallel] sharding" in res.output, res.output
+oszs = sorted(tdir.glob("*.osz"))
+assert len(oszs) == 2, oszs
+print("dp predict ok:", [p.name for p in oszs])
+"""
+    )
+    assert "dp predict ok" in out
