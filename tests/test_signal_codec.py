@@ -278,3 +278,30 @@ class TestSliderFitter:
         fitted = np.asarray(ctrl, float)
         np.testing.assert_allclose(fitted[0], pts[0], atol=3)
         np.testing.assert_allclose(fitted[-1], pts[-1], atol=3)
+
+
+class TestSerializerDegenerateInputs:
+    """an untrained or saturated model must still produce a writable .osu"""
+
+    def _decode(self, sig):
+        from osu_dreamer_tpu.signal.serialize import MapMetadata
+
+        meta = MapMetadata(**{f: "t" for f in MapMetadata.__dataclass_fields__})
+        return decode_beatmap(meta, np.array([3.0, 9, 8, 4, 5]), sig)
+
+    def _objects(self, text):
+        return [l for l in text.split("[HitObjects]")[1].strip().splitlines() if l]
+
+    def test_zero_signal(self):
+        text = self._decode(np.zeros((9, 500), np.float32))
+        assert self._objects(text) == []
+        assert "[TimingPoints]" in text
+
+    def test_saturated_signal(self):
+        sig = np.full((9, 500), 0.99, np.float32)
+        sig[7:] = 0.5
+        text = self._decode(sig)  # no local maxima -> no onsets, no crash
+        assert self._objects(text) == []
+
+    def test_tiny_signal(self):
+        assert self._decode(np.zeros((9, 10), np.float32))
