@@ -46,6 +46,7 @@ def main() -> None:
         SR,
         make_spec_for_model,
         prep_wave_for_model,
+        spec_for_model_batch,
         spec_for_model_jax,
     )
     from osu_dreamer_tpu.models.inference import LDM, LDMArgs
@@ -168,9 +169,7 @@ def main() -> None:
 
     @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
     def sample_batch(p, waves, rfs, n_frames, out_frames, lb, k):
-        sp = jax.vmap(
-            lambda w, r: spec_for_model_jax(w, r, n_frames, out_frames)[0]
-        )(waves, rfs)
+        sp = spec_for_model_batch(waves, rfs, n_frames, out_frames)
         return model.apply(p, sp, lb, k, NUM_STEPS)
 
     def run_batch(k):

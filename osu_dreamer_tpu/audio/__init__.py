@@ -29,6 +29,7 @@ from .spectrogram import (
     make_spec_for_model,
     make_spec_jax,
     prep_wave_for_model,
+    spec_for_model_batch,
     spec_for_model_jax,
 )
 
@@ -49,6 +50,7 @@ __all__ = [
     "make_spec",
     "make_spec_for_model",
     "prep_wave_for_model",
+    "spec_for_model_batch",
     "spec_for_model_jax",
     "make_spec_jax",
     "read_spec",

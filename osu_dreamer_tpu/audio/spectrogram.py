@@ -98,12 +98,19 @@ def _use_pallas_resonator() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnames=("n_frames",))
-def _resonate_frames(wave: jax.Array, n_frames: int) -> jax.Array:
-    """complex resonator states at frame boundaries -> (n_frames, F, 2) [re, im]"""
+@partial(jax.jit, static_argnames=("n_frames", "pallas"))
+def _resonate_frames(
+    wave: jax.Array, n_frames: int, pallas: bool | None = None
+) -> jax.Array:
+    """complex resonator states at frame boundaries -> (n_frames, F, 2) [re, im]
+
+    ``pallas`` overrides the backend-based kernel gate; pass False when the
+    enclosing program is sharded over a device mesh — Mosaic kernels cannot
+    be auto-partitioned by GSPMD, and the associative-scan path partitions
+    fine (the featurizer is a tiny slice of a sampling program anyway)."""
     frames = wave[: n_frames * HOP_LEN].reshape(n_frames, HOP_LEN)
 
-    if _use_pallas_resonator():
+    if _use_pallas_resonator() if pallas is None else pallas:
         # one-pass Pallas kernel: 5.6x the associative-scan path on v5e
         from osu_dreamer_tpu.ops.resonator import resonate_frames_pallas
 
@@ -149,16 +156,22 @@ def make_spec(wave: np.ndarray) -> np.ndarray:
 
 
 def spec_for_model_jax(
-    wave_i16: jax.Array, real_frames: jax.Array, n_frames: int, out_frames: int
+    wave_i16: jax.Array,
+    real_frames: jax.Array,
+    n_frames: int,
+    out_frames: int,
+    pallas: bool | None = None,
 ) -> jax.Array:
     """traceable core of ``make_spec_for_model``: compose it into a larger
     jitted program (e.g. predict fuses it with the sampling pipeline so each
     song costs ONE device dispatch).
 
     real_frames is a TRACED scalar so compiles depend only on the wave
-    bucket, not the exact song length (one compile per ~6 s size class)"""
+    bucket, not the exact song length (one compile per ~6 s size class).
+    ``pallas=False`` forces the GSPMD-partitionable scan path (see
+    ``_resonate_frames``)."""
     wave = wave_i16.astype(jnp.float32) / 32767.0
-    states = _resonate_frames(wave, n_frames)
+    states = _resonate_frames(wave, n_frames, pallas)
     power = states[..., 0] ** 2 + states[..., 1] ** 2  # (K, F)
 
     # top-60dB normalization over the REAL frames only (masked max)
@@ -194,6 +207,21 @@ def prep_wave_for_model(
     # shared by every song in the same ~6 s size class
     out_frames = -(-n_frames // chunk) * chunk
     return buf, real_frames, n_frames, out_frames
+
+
+def spec_for_model_batch(
+    waves_i16: jax.Array,
+    real_frames: jax.Array,
+    n_frames: int,
+    out_frames: int,
+    pallas: bool | None = None,
+) -> jax.Array:
+    """batched traceable featurize: (S, len) int16 waves + (S,) real frame
+    counts -> (S, out_frames, F). Per-song top-60dB normalization (each song
+    peaks against its own loudest frame, exactly like the solo path)."""
+    return jax.vmap(
+        lambda w, r: spec_for_model_jax(w, r, n_frames, out_frames, pallas)[0]
+    )(waves_i16, real_frames)
 
 
 _spec_for_model = jax.jit(spec_for_model_jax, static_argnames=("n_frames", "out_frames"))

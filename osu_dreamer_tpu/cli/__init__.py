@@ -4,6 +4,22 @@ encode-latents, fit-denoiser, fit-style, export-inference, predict."""
 
 from __future__ import annotations
 
+import os
+
+# persistent XLA compile cache shared across CLI invocations: without it
+# every `predict` pays the full pipeline compile (minutes on TPU) again.
+# Set at MODULE import — jax snapshots this env var when it is imported,
+# and the command bodies import jax lazily, after this module loads.
+# setdefault: an explicit JAX_COMPILATION_CACHE_DIR wins.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+        "osu_dreamer_tpu", "jax",
+    ),
+)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import click
 
 from .commands import (
@@ -20,20 +36,6 @@ from .commands import (
 @click.group()
 def main():
     """osu!dreamer-tpu: generate osu!standard beatmaps from raw audio."""
-    # persistent XLA compile cache shared across CLI invocations: without it
-    # every `predict` pays the full pipeline compile (minutes on TPU) again.
-    # setdefault — an explicit JAX_COMPILATION_CACHE_DIR wins. Must run
-    # before the first jax import in the (lazily-importing) commands.
-    import os
-
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(
-            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-            "osu_dreamer_tpu", "jax",
-        ),
-    )
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 main.add_command(generate_data)

@@ -216,7 +216,7 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         HOP_LEN,
         load_wave,
         prep_wave_for_model,
-        spec_for_model_jax,
+        spec_for_model_batch,
     )
     from osu_dreamer_tpu.models.inference import load_inference
 
@@ -226,10 +226,6 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         diff = ((5.0, 9.0, 8.0, 4.0, 6.0),)
 
     model, params = load_inference(model_path)
-    # the artifact restores as host numpy arrays; pin them on device ONCE —
-    # passed raw to a jitted function they would re-upload the whole
-    # artifact (hundreds of MB) on every dispatch
-    params = jax.device_put(params)
     chunk = model.args.latent.chunk_size
     labels = jnp.asarray(diff, jnp.float32)
     base_seed = seed if seed is not None else random.randrange(2**31)
@@ -246,29 +242,40 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     # data-parallel generation: with multiple devices visible and a song
     # batch to spread, shard the song axis over a 1-D `data` mesh — params
     # replicate, every per-song op is embarrassingly parallel, and XLA
-    # runs each shard on its own chip (same mesh machinery as training DP)
+    # runs each shard on its own chip (same mesh machinery as training DP).
+    # Device sets: local devices only — under jax.distributed each process
+    # feeds its own host-local waves, so the mesh must not span hosts here.
     song_sharding = None
-    n_dev = jax.local_device_count()
-    if n_dev > 1 and batch_songs > 1:
+    devices = jax.local_devices()
+    if len(devices) > 1 and batch_songs > 1:
         from jax.sharding import NamedSharding, PartitionSpec
 
         from osu_dreamer_tpu.parallel import data_parallel_mesh, replicate
 
+        n_dev = len(devices)
         batch_songs = max(n_dev, batch_songs - batch_songs % n_dev)
-        mesh = data_parallel_mesh()
+        mesh = data_parallel_mesh(devices)
         params = replicate(params, mesh)
         song_sharding = NamedSharding(mesh, PartitionSpec("data"))
         click.echo(f"[parallel] sharding {batch_songs}-song batches over {n_dev} devices")
+    else:
+        # the artifact restores as host numpy arrays; pin them on device
+        # ONCE — passed raw to a jitted function they would re-upload the
+        # whole artifact (hundreds of MB) on every dispatch. (The DP branch
+        # above places them itself, replicated across the mesh.)
+        params = jax.device_put(params)
 
     # featurizer + 3-stage sampler fused into ONE device program per BATCH of
     # songs: a single dispatch (the relay round trip is material), the spec
     # never materializes host-side, and the LDM batches songs x difficulties
-    # through the (small) models together
+    # through the (small) models together. A sharded program forces the
+    # partitionable scan featurizer (Mosaic kernels can't be auto-sharded).
     @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
     def sample(p, waves_i16, real_frames, n_frames, out_frames, lb, k):
-        spec = jax.vmap(
-            lambda w, rf: spec_for_model_jax(w, rf, n_frames, out_frames)[0]
-        )(waves_i16, real_frames)  # (S, out_frames, A_DIM)
+        spec = spec_for_model_batch(
+            waves_i16, real_frames, n_frames, out_frames,
+            pallas=False if song_sharding is not None else None,
+        )  # (S, out_frames, A_DIM)
         return model.apply(
             p, spec, lb, k, sample_steps, style_guidance=style_guidance
         )
@@ -301,8 +308,9 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     D = labels.shape[0]
 
     def dispatch(batch: list, batch_i: int):
-        """batch: list of (audio_file, title, artist, L, buf, real_frames),
-        all in the same (n_frames, out_frames) bucket"""
+        """batch: list of (audio_file, title, artist, L, buf, real_frames,
+        n_frames, out_frames) entries, all in the same (n_frames,
+        out_frames) bucket"""
         n_frames, out_frames = batch[0][6], batch[0][7]
         rows = list(batch)
         # pad partial batches by repeating the last song: a fresh compile

@@ -3,6 +3,8 @@
 import io
 import struct
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -172,4 +174,40 @@ class TestSpecForModel:
         np.testing.assert_allclose(
             dev[0, real:], np.broadcast_to(dev[0, real - 1], dev[0, real:].shape),
             atol=1e-5,
+        )
+
+
+class TestBatchedFeaturize:
+    def test_batch_matches_solo(self):
+        """spec_for_model_batch rows equal per-song solo featurizes (incl.
+        per-song peak normalization with different loudness/lengths)"""
+        from osu_dreamer_tpu.audio import (
+            SR,
+            make_spec_for_model,
+            prep_wave_for_model,
+            spec_for_model_batch,
+        )
+
+        rng = np.random.default_rng(0)
+        t = np.arange(SR * 2) / SR
+        w1 = (0.8 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+        w2 = (0.2 * np.sin(2 * np.pi * 440 * t[: SR]) ).astype(np.float32)
+        chunk = 27
+
+        b1, r1, nf, of = prep_wave_for_model(w1, chunk)
+        b2, r2, nf2, of2 = prep_wave_for_model(w2, chunk)
+        assert (nf, of) == (nf2, of2)  # same ~6 s bucket
+
+        batch = spec_for_model_batch(
+            jnp.asarray(np.stack([b1, b2])),
+            jnp.asarray(np.asarray([r1, r2], np.int32)),
+            nf, of,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch[0]), np.asarray(make_spec_for_model(w1, chunk)[0]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(batch[1]), np.asarray(make_spec_for_model(w2, chunk)[0]),
+            atol=1e-6,
         )
