@@ -3,8 +3,9 @@
 The reference uses torchcodec's C++ FFmpeg bindings (data/load_audio.py:36-37).
 Here the decode stack is:
 
-1. WAV/RIFF: first-party decoder — the C++ extension (``native/audiodec.cpp``,
-   loaded via ctypes) when built, else the pure-numpy parser below. Handles
+1. WAV/RIFF: first-party decoder — the C++ extension
+   (``native/osudreamer_native.cpp``, loaded via ctypes) when built, else the
+   pure-numpy parser below. Handles
    PCM u8/s16/s24/s32 and float32/64, any channel count and sample rate;
    resampling is polyphase windowed-sinc.
 2. anything else (mp3/ogg/opus/...): an ``ffmpeg`` binary if one is on PATH

@@ -252,12 +252,18 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
 
         from osu_dreamer_tpu.parallel import data_parallel_mesh, replicate
 
-        n_dev = len(devices)
-        batch_songs = max(n_dev, batch_songs - batch_songs % n_dev)
-        mesh = data_parallel_mesh(devices)
+        # use at most batch_songs devices (don't inflate a small requested
+        # batch to the device count), then round the batch down to a multiple
+        # of the devices actually used
+        n_dev = min(len(devices), batch_songs)
+        batch_songs -= batch_songs % n_dev
+        mesh = data_parallel_mesh(devices[:n_dev])
         params = replicate(params, mesh)
         song_sharding = NamedSharding(mesh, PartitionSpec("data"))
-        click.echo(f"[parallel] sharding {batch_songs}-song batches over {n_dev} devices")
+        click.echo(
+            f"[parallel] sharding {batch_songs}-song batches over {n_dev} "
+            f"of {len(devices)} devices"
+        )
     else:
         # the artifact restores as host numpy arrays; pin them on device
         # ONCE — passed raw to a jitted function they would re-upload the

@@ -79,7 +79,9 @@ def iter_local_samples(songs_dir: Path) -> Iterator[dict]:
                         if n.lower().endswith(".osu")
                     }
                     yield from _group_by_audio(
-                        texts, lambda name: z.read(name) if name in names else None
+                        texts,
+                        lambda name: z.read(name) if name in names else None,
+                        available=names,
                     )
             except zipfile.BadZipFile:
                 continue
@@ -93,16 +95,26 @@ def iter_local_samples(songs_dir: Path) -> Iterator[dict]:
                 p = d / name
                 return p.read_bytes() if p.is_file() else None
 
-            yield from _group_by_audio(texts, read_audio)
+            available = {p.name for p in entry.iterdir() if p.is_file()}
+            yield from _group_by_audio(texts, read_audio, available=available)
 
 
-def _group_by_audio(texts: dict[str, str], read_audio) -> Iterator[dict]:
+def _group_by_audio(
+    texts: dict[str, str], read_audio, available: Optional[set] = None
+) -> Iterator[dict]:
+    # osu! resolves AudioFilename case-insensitively; on a case-sensitive
+    # filesystem a .osu saying 'Audio.mp3' for a file named 'audio.mp3' must
+    # still match, so resolve through a lowercase-keyed lookup first
+    by_lower = {n.lower(): n for n in sorted(available or ())}
     by_audio: dict[str, list[dict]] = {}
     for content in texts.values():
         m = _AUDIO_RE.search(content)
         if not m:
             continue
-        by_audio.setdefault(m.group(1), []).append(_beatmap_entry(content))
+        name = m.group(1)
+        by_audio.setdefault(by_lower.get(name.lower(), name), []).append(
+            _beatmap_entry(content)
+        )
     for audio_name, beatmaps in sorted(by_audio.items()):
         data = read_audio(audio_name)
         if data is None:

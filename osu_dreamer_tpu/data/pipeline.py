@@ -85,6 +85,14 @@ def hold_out_mapsets(
 
     dirs = sorted(by_dir)
     n_val = min(int(max_val_count), int(len(dirs) * max_val_frac))
+    if n_val == 0 and max_val_count > 0 and max_val_frac > 0 and len(dirs) > 1:
+        # small corpora: int(len * frac) rounds to 0, and an empty val split
+        # silently disables early stopping / best-checkpointing — floor to 1
+        print(
+            f"[data] val split rounded to 0 mapsets ({len(dirs)} total, "
+            f"max_val_frac={max_val_frac}); holding out 1 mapset instead"
+        )
+        n_val = 1
     ranked = sorted(dirs, key=lambda d: hashlib.md5(d.name.encode()).hexdigest())
     val_dirs = set(ranked[:n_val])
     train = [by_dir[d] for d in dirs if d not in val_dirs]

@@ -31,6 +31,7 @@ from osu_dreamer_tpu.data import (
 )
 from osu_dreamer_tpu.parallel import auto_data_parallel, replicate, shard_batch
 from osu_dreamer_tpu.signal import Channel
+from osu_dreamer_tpu.nn.schedule import lr_at
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
 from osu_dreamer_tpu.train.state import TrainState, make_optimizer
 from osu_dreamer_tpu.utils import dataclass_from_dict, load_yaml_config
@@ -209,5 +210,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         validate=validate,
         on_validation=on_validation,
         prepare_state=(lambda s: replicate(s, mesh)) if mesh else None,
+        lr_schedule=lambda step: lr_at(step, train_args.opt.lr, train_args.opt.schedule),
     )
     return fit(stage, fit_args, resume_from)

@@ -38,3 +38,18 @@ def make_lr_schedule(base_lr: float, args: LRScheduleArgs):
         return base_lr * mult
 
     return schedule
+
+
+def lr_at(step: int, base_lr: float, args: LRScheduleArgs) -> float:
+    """host-side mirror of ``make_lr_schedule`` for logging: same math in
+    plain floats, so the LR track costs no device dispatch"""
+    import math
+
+    warmup = max(args.warmup_steps, 1)
+    if step < warmup:
+        mult = args.warmup_init ** max(0.0, 1.0 - step / warmup)
+    elif step > args.decay_start:
+        mult = math.sqrt(args.decay_start / max(step, 1))
+    else:
+        mult = 1.0
+    return base_lr * mult

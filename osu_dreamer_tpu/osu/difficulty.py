@@ -13,8 +13,8 @@ implementation of the classic osu!std two-skill (aim / speed) strain model:
 Star rating is only consumed as a difficulty *label* for model conditioning
 (label[0] of 5), so an accurate classic-model estimate is sufficient; a C++
 implementation with identical semantics is available in
-``native/difficulty.cpp`` and used automatically when built (star rating runs
-once per map at dataset-build time).
+``native/osudreamer_native.cpp`` and used automatically when built (star
+rating runs once per map at dataset-build time).
 """
 
 from __future__ import annotations

@@ -11,7 +11,14 @@ Families:
     PL/m  poly-line with m segments (m >= 2)
     PB/m  poly-bezier with m segments (m >= 2)
 
-Model (probabilities measured over the ranked dataset):
+Provenance of the numbers: the empirical constants below are taken from the
+REFERENCE's measurement over its ranked corpus (slider_prior.py:21-27 family
+counts, renormalized here to probabilities; the zeta s=4 segment law and the
+cubic-spike mixture w=.5991 / q=.7431 are its fitted values). We have not
+re-measured them on our own corpus yet — re-derive them once a real-corpus
+ingest (data/ingest.py HF path) has run.
+
+Model:
 - family frequencies: P .4924, L .3531, PL .0869, PB .0383, B .0294
 - poly segment count: zeta (power-law) tail, P(m) ~ m^-4 over m >= 2
 - single-bezier control-point count: a point mass on the cubic (the editor's

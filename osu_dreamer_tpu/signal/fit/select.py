@@ -55,7 +55,9 @@ def fit_slider(
 
     def consider(cost: float, curve_type: str, curves: list) -> bool:
         nonlocal best_cost, best_type, best_curves, best_final
-        if cost >= best_cost:
+        # `not (cost < best)` rather than `cost >= best`: a NaN cost (NaN
+        # cursor input) must never win, and must not poison the pruning
+        if not (cost < best_cost):
             return False
         best_cost = cost
         best_type = curve_type

@@ -63,6 +63,9 @@ class Stage:
     # first step — e.g. replicating over a data-parallel mesh (restored
     # arrays land on one device; replication must happen after)
     prepare_state: Optional[Callable[[TrainState], TrainState]] = None
+    # step -> learning rate (host-side, e.g. nn.schedule.lr_at) for the
+    # TensorBoard train/lr track
+    lr_schedule: Optional[Callable[[int], float]] = None
 
 
 def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> TrainState:
@@ -101,9 +104,10 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
                     n_batches += 1
                     step = int(state.step)
                     if step % args.log_every == 0:
-                        logger.scalars(
-                            {k: v for k, v in metrics.items()}, step, prefix="train/"
-                        )
+                        scalars = {k: v for k, v in metrics.items()}
+                        if stage.lr_schedule is not None:
+                            scalars["lr"] = stage.lr_schedule(step)
+                        logger.scalars(scalars, step, prefix="train/")
                         if timer.steps_per_sec > 0:
                             logger.scalars({"steps_per_sec": timer.steps_per_sec}, step, prefix="perf/")
                     if args.max_steps > 0 and step >= args.max_steps:
