@@ -1,0 +1,145 @@
+"""Denoiser train-step microbenchmark + MFU accounting (VERDICT r1 item 3).
+
+Times the full-size (512x8) denoiser train step at the reference train config
+(batch 128, window 152 latent frames — diffusion/model.yml:44-47) on the
+ambient backend, split three ways to localize the budget:
+
+  1. pipelined step time (N steps queued, one final block) — true device time
+  2. per-step (block every step) — what a host-synchronous loop would see
+  3. component ablations: forward-only loss, value_and_grad only, opt+EMA only
+
+MFU uses XLA's own flop count for the compiled step
+(``compiled.cost_analysis()['flops']``), not a hand model, against the
+chip's advertised bf16 peak (v5e ~197 TFLOP/s; override with --peak).
+
+Usage:
+    python benchmarks/trainstep_bench.py [--steps 20] [--trace /tmp/trace]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--seq", type=int, default=152)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--peak", type=float, default=197e12,
+                    help="chip peak bf16 FLOP/s (v5e default)")
+    ap.add_argument("--trace", type=str, default=None,
+                    help="capture a jax.profiler trace of the timed loop here")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+    from osu_dreamer_tpu.models.diffusion.train import (
+        DiffusionTrainArgs,
+        LatentBatch,
+        diffusion_loss,
+        init_diffusion_training,
+    )
+
+    log(f"devices: {jax.devices()}")
+    model_args = DiffusionModelArgs()
+    train_args = DiffusionTrainArgs()
+    key = jax.random.PRNGKey(0)
+    model, state, train_step = init_diffusion_training(
+        model_args, train_args, key, seq_len=args.seq
+    )
+
+    B, l = args.batch, args.seq
+    k1, k2, k3 = jax.random.split(key, 3)
+    batch = LatentBatch(
+        h=jax.random.normal(k1, (B, l, model_args.a_dim)),
+        z=jax.random.normal(k2, (B, l, model_args.emb_dim)),
+        s=jax.random.normal(k3, (B, model_args.style_dim)),
+        labels=jnp.ones((B, 5)),
+    )
+    batch = jax.device_put(batch)
+
+    # compile + flop count
+    t0 = time.time()
+    compiled = train_step.lower(state, batch).compile()
+    cost = compiled.cost_analysis()
+    flops = float((cost or {}).get("flops", 0.0))
+    log(f"compile: {time.time() - t0:.1f}s; XLA flops/step: {flops / 1e12:.3f} TF")
+
+    state, metrics = train_step(state, batch)
+    jax.block_until_ready(state.params)
+
+    # --- 1. pipelined: queue N steps, block once ---
+    N = args.steps
+    import contextlib
+
+    ctx = (
+        jax.profiler.trace(args.trace) if args.trace else contextlib.nullcontext()
+    )
+    with ctx:
+        t0 = time.time()
+        for _ in range(N):
+            state, metrics = train_step(state, batch)
+        jax.block_until_ready(state.params)
+        pipelined = (time.time() - t0) / N
+
+    # --- 2. per-step blocking ---
+    t0 = time.time()
+    for _ in range(N):
+        state, metrics = train_step(state, batch)
+        jax.block_until_ready(metrics["loss"])
+    blocking = (time.time() - t0) / N
+
+    # --- 3. ablations ---
+    def timeit(fn, *a, n=N):
+        out = fn(*a)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(*a)
+        jax.block_until_ready(out)
+        return (time.time() - t0) / n
+
+    params = state.params
+    fwd = jax.jit(
+        lambda p, b: diffusion_loss(model, p, key, b, train_args)[0]
+    )
+    t_fwd = timeit(fwd, params, batch)
+
+    grad = jax.jit(
+        jax.value_and_grad(
+            lambda p, b: diffusion_loss(model, p, key, b, train_args)[0]
+        )
+    )
+    t_grad = timeit(grad, params, batch)
+
+    mfu = flops / args.peak / pipelined if flops else float("nan")
+    result = {
+        "config": {"batch": B, "seq": l, "steps": N},
+        "xla_flops_per_step_tf": round(flops / 1e12, 3),
+        "pipelined_ms": round(pipelined * 1e3, 2),
+        "blocking_ms": round(blocking * 1e3, 2),
+        "fwd_only_ms": round(t_fwd * 1e3, 2),
+        "value_and_grad_ms": round(t_grad * 1e3, 2),
+        "opt_ema_overhead_ms": round((pipelined - t_grad) * 1e3, 2),
+        "mfu_at_peak": round(mfu, 4),
+        "peak_flops": args.peak,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,19 @@ from flax import linen as nn
 from .norm import rms_norm
 
 
-def _use_fused_attention() -> bool:
+def _flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
+    """use the fused Pallas kernels: TPU backend only (CPU tests take the
+    numerically-equivalent XLA path), shapes inside the VMEM budget, and not
+    explicitly disabled via OSU_DREAMER_XLA_ATTN=1 (A/B escape hatch)"""
     import os
 
-    return os.environ.get("OSU_DREAMER_FUSED_ATTN", "0") == "1"
+    if os.environ.get("OSU_DREAMER_XLA_ATTN", "0") == "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from osu_dreamer_tpu.ops.fused_attention import fused_attention_fits
+
+    return fused_attention_fits(L, n_heads, head_dim)
 
 
 def rope(x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
@@ -61,21 +70,26 @@ class RoPEAttention(nn.Module):
 
         q_gamma = self.param("q_gamma", nn.initializers.ones, (D,), jnp.float32)
         k_gamma = self.param("k_gamma", nn.initializers.ones, (D,), jnp.float32)
+        HD = H * D
 
-        # kernel constraints: packed q/k/v feature blocks must be lane-tile
-        # (128) aligned, rotary halves need even D, VMEM caps the length
-        fusable = (H * D) % 128 == 0 and D % 2 == 0 and L <= 2048
-        if self.seq_axis is None and _use_fused_attention() and fusable:
-            # opt-in Pallas megakernel (norm+rope+attention in one VMEM
-            # pass); measured at parity with the XLA path for the default
-            # shapes — see ops/attention.py for the verdict
-            from osu_dreamer_tpu.ops import fused_rope_attention
+        if self.seq_axis is None and _flash_ok(L, H, D):
+            # fully-fused norm+rope+attention fwd/bwd Pallas kernels straight
+            # off the packed qkv projection — no (L, L) tensors in HBM, no
+            # split/transpose copies, no fp32 norm/rope round trips (measured
+            # 6.1 ms vs XLA's 13.1 fwd+bwd per denoiser train layer at
+            # B128 L152; ops/fused_attention.py)
+            from osu_dreamer_tpu.ops.fused_attention import (
+                fused_norm_rope_attention,
+            )
 
-            y = fused_rope_attention(qkv, q_gamma, k_gamma, H)
+            y = fused_norm_rope_attention(qkv, q_gamma, k_gamma, H)
             return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y)
 
-        qkv = qkv.reshape(B, L, 3, H, D)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # XLA path: contiguous lane-block slices of the packed projection;
+        # norms/rope run on free bitcast (B, L, H, D) views
+        q = qkv[..., :HD].reshape(B, L, H, D)
+        k = qkv[..., HD : 2 * HD].reshape(B, L, H, D)
+        v = qkv[..., 2 * HD :].reshape(B, L, H, D)
 
         offset = 0
         if self.seq_axis is not None:
@@ -89,5 +103,5 @@ class RoPEAttention(nn.Module):
 
             y = ring_attention(q, k, v, self.seq_axis)
         else:
-            y = jax.nn.dot_product_attention(q, k, v)  # (B, L, H, D)
-        return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y.reshape(B, L, H * D))
+            y = jax.nn.dot_product_attention(q, k, v)
+        return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y.reshape(B, L, HD))

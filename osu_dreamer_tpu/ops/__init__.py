@@ -1,11 +1,16 @@
 """Pallas TPU kernels for the hot ops."""
 
-from .attention import fused_rope_attention, rope_attention_reference
+from .fused_attention import (
+    fused_attention_fits,
+    fused_norm_rope_attention,
+    rope_attention_reference,
+)
 from .ring_attention import ring_attention, sequence_parallel_attention
 from .swiglu import fused_swiglu, swiglu_reference
 
 __all__ = [
-    "fused_rope_attention",
+    "fused_attention_fits",
+    "fused_norm_rope_attention",
     "fused_swiglu",
     "ring_attention",
     "rope_attention_reference",

@@ -118,12 +118,11 @@ class TestPallasResonator:
         np.testing.assert_allclose(got[..., 1], exact.imag, atol=5e-3)
 
 
-class TestFusedRoPEAttention:
-    """ops/attention.py vs the jnp composition (interpret mode)."""
+class TestFusedNormRopeAttention:
+    """ops/fused_attention.py (norm+rope+attention megakernel, fwd+bwd) vs
+    the jnp composition, in Pallas interpret mode on CPU."""
 
     def _inputs(self, B, L, H, D, dtype=jnp.bfloat16):
-        from osu_dreamer_tpu.ops import fused_rope_attention  # noqa: F401
-
         k1, k2, k3 = jax.random.split(KEY, 3)
         qkv = (jax.random.normal(k1, (B, L, 3 * H * D)) * 0.7).astype(dtype)
         qg = jax.random.uniform(k2, (D,), jnp.float32, 0.5, 1.5)
@@ -132,30 +131,44 @@ class TestFusedRoPEAttention:
 
     @pytest.mark.parametrize("B,L,H,D", [(2, 152, 4, 64), (1, 130, 2, 32)])
     def test_matches_reference(self, B, L, H, D):
-        from osu_dreamer_tpu.ops import fused_rope_attention, rope_attention_reference
+        from osu_dreamer_tpu.ops import (
+            fused_norm_rope_attention,
+            rope_attention_reference,
+        )
 
         qkv, qg, kg = self._inputs(B, L, H, D)
         ref = np.asarray(rope_attention_reference(qkv, qg, kg, H), np.float32)
-        got = np.asarray(fused_rope_attention(qkv, qg, kg, H, 128, True), np.float32)
+        got = np.asarray(
+            fused_norm_rope_attention(qkv, qg, kg, H, True), np.float32
+        )
         assert got.shape == ref.shape
         np.testing.assert_allclose(got, ref, atol=2e-2)
 
     def test_padded_length_masked(self):
-        """L not a multiple of blk_q: padded keys must not leak into softmax"""
-        from osu_dreamer_tpu.ops import fused_rope_attention, rope_attention_reference
+        """L not a multiple of the 16-row bf16 tile: padded key rows must
+        not leak into the softmax"""
+        from osu_dreamer_tpu.ops import (
+            fused_norm_rope_attention,
+            rope_attention_reference,
+        )
 
         qkv, qg, kg = self._inputs(1, 77, 2, 32)
         ref = np.asarray(rope_attention_reference(qkv, qg, kg, 2), np.float32)
-        got = np.asarray(fused_rope_attention(qkv, qg, kg, 2, 64, True), np.float32)
+        got = np.asarray(fused_norm_rope_attention(qkv, qg, kg, 2, True), np.float32)
         np.testing.assert_allclose(got, ref, atol=2e-2)
 
-    def test_gradients_flow(self):
-        from osu_dreamer_tpu.ops import fused_rope_attention, rope_attention_reference
+    def test_gradients(self):
+        """custom-VJP backward kernel (d_qkv + both gamma grads) vs autodiff
+        through the reference composition"""
+        from osu_dreamer_tpu.ops import (
+            fused_norm_rope_attention,
+            rope_attention_reference,
+        )
 
         qkv, qg, kg = self._inputs(1, 64, 2, 32, dtype=jnp.float32)
 
         def loss_fused(a, b, c):
-            return jnp.sum(fused_rope_attention(a, b, c, 2, 64, True) ** 2)
+            return jnp.sum(fused_norm_rope_attention(a, b, c, 2, True) ** 2)
 
         def loss_ref(a, b, c):
             return jnp.sum(rope_attention_reference(a, b, c, 2) ** 2)
@@ -168,20 +181,19 @@ class TestFusedRoPEAttention:
                 rtol=2e-2, atol=2e-2,
             )
 
-    def test_module_flag_dispatch(self, monkeypatch):
-        """RoPEAttention with OSU_DREAMER_FUSED_ATTN=1 equals the XLA path"""
-        import os
-
+    def test_module_dispatch(self, monkeypatch):
+        """RoPEAttention routed through the kernel equals its XLA path"""
         from jax.experimental.pallas import tpu as pltpu
 
+        from osu_dreamer_tpu.nn import attention as attn_mod
         from osu_dreamer_tpu.nn.attention import RoPEAttention
 
         x = jax.random.normal(KEY, (2, 40, 24), jnp.float32)
-        mod = RoPEAttention(n_heads=2, head_dim=32, out_dim=24, dtype=jnp.float32)
+        mod = RoPEAttention(n_heads=2, head_dim=64, out_dim=24, dtype=jnp.float32)
         params = mod.init(KEY, x)
         base = np.asarray(mod.apply(params, x), np.float32)
 
-        monkeypatch.setenv("OSU_DREAMER_FUSED_ATTN", "1")
+        monkeypatch.setattr(attn_mod, "_flash_ok", lambda *a: True)
         with pltpu.force_tpu_interpret_mode():
             fused = np.asarray(mod.apply(params, x), np.float32)
         np.testing.assert_allclose(fused, base, atol=2e-2)
