@@ -7,13 +7,19 @@ Host-side .osu serialization is excluded here (it is O(100ms) and measured
 separately in tests); weights are random — throughput is architecture-bound,
 not weight-bound.
 
-``vs_baseline``: the reference (jaswon/osu-dreamer) publishes no numbers and
-its CUDA/torch stack cannot run in this environment (BASELINE.md). The ratio
-is therefore computed against a documented estimate of the reference's
-single-GPU sampling throughput at the same config: ~2 maps/min (a 25M-param
-depth-8/512 attention backbone over ~750 latent frames, 33 sequential
-passes, plus per-step host sync overhead of its Python loop). Revisit when a
-runnable reference baseline exists.
+``vs_baseline``: MEASURED. The reference (jaswon/osu-dreamer) publishes no
+numbers and its CUDA stack cannot run here, but its torch models run on CPU:
+benchmarks/reference_baseline.py times the reference LDM.sample at this
+exact config (2-min song, 32 steps, random weights) on this host's CPU and
+records benchmarks/reference_baseline.json. vs_baseline = our TPU maps/min
+over the reference's measured CPU maps/min (a TPU-vs-CPU ratio — the only
+cross-runtime comparison possible without a CUDA device); the JSON also
+carries the CPU-vs-CPU ratio from the same measurement for a same-silicon
+view. Re-run reference_baseline.py to refresh.
+
+Env knobs: BENCH_SWEEP=1 adds a --batch-songs throughput sweep (S=4/8/16;
+each S compiles its own program, so the sweep is opt-in to keep the
+driver-run bench bounded).
 """
 
 import json
@@ -26,9 +32,17 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
 
-REFERENCE_MAPS_PER_MIN_ESTIMATE = 2.0
 SONG_SECONDS = 120
 NUM_STEPS = 32
+
+
+def load_measured_baseline() -> dict:
+    """benchmarks/reference_baseline.json, written by reference_baseline.py"""
+    import json as _json
+    from pathlib import Path
+
+    p = Path(__file__).parent / "benchmarks" / "reference_baseline.json"
+    return _json.loads(p.read_text()) if p.exists() else {}
 
 
 def log(*a):
@@ -100,7 +114,8 @@ def main() -> None:
     t0 = time.time()
     chart, out_labels = run_song(key)
     float(chart[0, 0, 0])
-    log(f"compile+first run: {time.time() - t0:.1f}s; chart {chart.shape}")
+    compile_s = time.time() - t0
+    log(f"compile+first run: {compile_s:.1f}s; chart {chart.shape}")
 
     # steady-state warmup (the first few dispatches through the host link
     # run slow while buffers/relay warm up)
@@ -189,16 +204,75 @@ def main() -> None:
     bdt = (time.time() - t0) / (4 * S)
     log(f"batched bulk (S={S}): {bdt * 1000:.0f} ms/map = {60 / bdt:.0f} maps/min sustained")
 
-    print(
-        json.dumps(
-            {
-                "metric": "maps/min per chip (2-min song, 32 steps)",
-                "value": round(maps_per_min, 2),
-                "unit": "maps/min",
-                "vs_baseline": round(maps_per_min / REFERENCE_MAPS_PER_MIN_ESTIMATE, 2),
-            }
-        )
-    )
+    bulk_curve = {str(S): round(bdt * 1000, 1)}
+    if os.environ.get("BENCH_SWEEP", "0") == "1":
+        for S2 in (8, 16):
+            waves_s = jnp.asarray(np.stack([buf] * S2))
+            rfs_s = jnp.asarray(np.asarray([real_frames] * S2, np.int32))
+
+            def run_s(k):
+                return sample_batch(params, waves_s, rfs_s, n_frames, out_frames, labels, k)
+
+            out = run_s(jax.random.PRNGKey(400))  # compile this S
+            float(out[0][0, 0, 0])
+            t0 = time.time()
+            pending = None
+            for i in range(3):
+                out = run_s(jax.random.PRNGKey(401 + i))
+                probe = out[0][0, 0, 0]
+                if pending is not None:
+                    float(pending)
+                pending = probe
+            float(pending)
+            ms = (time.time() - t0) / (3 * S2) * 1000
+            bulk_curve[str(S2)] = round(ms, 1)
+            log(f"batched bulk (S={S2}): {ms:.0f} ms/map = {60000 / ms:.0f} maps/min sustained")
+
+    baseline = load_measured_baseline()
+    ref_cpu = baseline.get("reference_cpu", {}).get("maps_per_min")
+    result = {
+        "metric": "maps/min per chip (2-min song, 32 steps)",
+        "value": round(maps_per_min, 2),
+        "unit": "maps/min",
+        "vs_baseline": round(maps_per_min / ref_cpu, 2) if ref_cpu else None,
+        "baseline_measured": bool(ref_cpu),
+        "baseline": {
+            "reference_cpu_maps_per_min": round(ref_cpu, 3) if ref_cpu else None,
+            "cpu_vs_cpu": baseline.get("cpu_vs_cpu"),
+            "methodology": baseline.get("methodology"),
+        },
+        "compile_s": round(compile_s, 1),
+        "bulk_ms_per_map": round(bulk_dt * 1000, 1),
+        "batched_bulk_ms_per_map": bulk_curve,
+    }
+
+    # training-side metric: denoiser step time + MFU at the reference config
+    # (VERDICT r1: "nothing in BENCH reports MFU"). Live measurement costs a
+    # second large compile, so by default the committed measurement from
+    # benchmarks/trainstep_bench.py is reported (with its provenance);
+    # BENCH_TRAIN=1 re-measures in-process.
+    try:
+        if os.environ.get("BENCH_TRAIN", "0") == "1":
+            sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
+            from trainstep_bench import measure_train_step
+
+            ts = {**measure_train_step(), "source": "measured live"}
+        else:
+            from pathlib import Path
+
+            ts = json.loads(
+                (Path(__file__).parent / "benchmarks" / "trainstep_result.json")
+                .read_text()
+            )
+        log(f"denoiser train step: {ts['ms_per_step']} ms @128x152, "
+            f"MFU {ts['mfu']} ({ts.get('source')})")
+        result["denoiser_train_step_ms"] = ts["ms_per_step"]
+        result["denoiser_train_mfu"] = ts["mfu"]
+        result["denoiser_train_source"] = ts.get("source")
+    except Exception as e:  # the headline metric must survive a train-bench failure
+        log(f"train-step measurement skipped: {e}")
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -32,6 +32,48 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def measure_train_step(
+    batch: int = 128, seq: int = 152, steps: int = 5, peak: float = 197e12
+) -> dict:
+    """lean measurement for bench.py: pipelined ms/step + XLA flops + MFU"""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+    from osu_dreamer_tpu.models.diffusion.train import (
+        DiffusionTrainArgs,
+        LatentBatch,
+        init_diffusion_training,
+    )
+
+    key = jax.random.PRNGKey(0)
+    model_args = DiffusionModelArgs()
+    _, state, train_step = init_diffusion_training(
+        model_args, DiffusionTrainArgs(), key, seq_len=seq
+    )
+    k1, k2, k3 = jax.random.split(key, 3)
+    batch_data = jax.device_put(LatentBatch(
+        h=jax.random.normal(k1, (batch, seq, model_args.a_dim)),
+        z=jax.random.normal(k2, (batch, seq, model_args.emb_dim)),
+        s=jax.random.normal(k3, (batch, model_args.style_dim)),
+        labels=jnp.ones((batch, 5)),
+    ))
+    cost = train_step.lower(state, batch_data).compile().cost_analysis()
+    flops = float((cost or {}).get("flops", 0.0))
+    state, metrics = train_step(state, batch_data)
+    jax.block_until_ready(state.params)
+    t0 = time.time()
+    for _ in range(steps):
+        state, metrics = train_step(state, batch_data)
+    jax.block_until_ready(state.params)
+    dt = (time.time() - t0) / steps
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "xla_flops_tf": round(flops / 1e12, 3),
+        "mfu": round(flops / peak / dt, 4) if flops else None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from osu_dreamer_tpu.data import batched, hold_out_mapsets, latent_windows, prefetch
-from osu_dreamer_tpu.parallel import auto_data_parallel, replicate, shard_batch
+from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
 from osu_dreamer_tpu.nn.schedule import lr_at
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
 from osu_dreamer_tpu.train.state import TrainState
@@ -52,6 +52,10 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     train_args = dataclass_from_dict(DiffusionTrainArgs, cfg.get("train", {}))
     data_args = dataclass_from_dict(DiffusionDataArgs, cfg.get("data", {}))
     fit_args = dataclass_from_dict(FitArgs, cfg.get("fit", {}))
+    par = build_parallelism(
+        dataclass_from_dict(ParallelArgs, cfg.get("parallel", {})),
+        data_args.batch_size,
+    )
 
     train_sets, val_sets = hold_out_mapsets(
         Path(data_args.data_dir), "*.latent.npz",
@@ -62,7 +66,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     model, state, train_step = init_diffusion_training(
         model_args, train_args, rng, data_args.seq_len
     )
-    mesh = auto_data_parallel(data_args.batch_size)
 
     def train_stream(epoch: int) -> Iterator[LatentBatch]:
         stream = latent_windows(
@@ -71,10 +74,11 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             shuffle_buffer=data_args.shuffle_buffer,
             max_per_map=data_args.max_per_map,
             seed=fit_args.seed + epoch,
+            shard=par.input_shard,
         )
-        for b in prefetch(batched(stream, data_args.batch_size)):
+        for b in prefetch(batched(stream, par.local_batch_size)):
             batch = LatentBatch(*(jnp.asarray(x) for x in b))
-            yield shard_batch(batch, mesh) if mesh else batch
+            yield par.shard_batch(batch)
 
     val_seg = data_args.seq_len
     vb = train_args.val_batches
@@ -126,7 +130,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         train_step=train_step,
         train_stream=train_stream,
         validate=validate,
-        prepare_state=(lambda s: replicate(s, mesh)) if mesh else None,
+        prepare_state=par.prepare_state,
         lr_schedule=lambda step: lr_at(step, train_args.opt.lr, train_args.opt.schedule),
     )
     return fit(stage, fit_args, resume_from)

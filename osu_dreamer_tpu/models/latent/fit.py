@@ -29,7 +29,7 @@ from osu_dreamer_tpu.data import (
     prefetch,
     signal_windows,
 )
-from osu_dreamer_tpu.parallel import auto_data_parallel, replicate, shard_batch
+from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
 from osu_dreamer_tpu.signal import Channel
 from osu_dreamer_tpu.nn.schedule import lr_at
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
@@ -111,6 +111,10 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     train_args = dataclass_from_dict(LatentTrainArgs, cfg.get("train", {}))
     data_args = dataclass_from_dict(LatentDataArgs, cfg.get("data", {}))
     fit_args = dataclass_from_dict(FitArgs, cfg.get("fit", {}))
+    par = build_parallelism(
+        dataclass_from_dict(ParallelArgs, cfg.get("parallel", {})),
+        data_args.batch_size,
+    )
 
     chunk2 = 2 * model_args.chunk_size
     assert data_args.seq_len % chunk2 == 0, (
@@ -126,7 +130,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     model, state, train_step = init_latent_training(
         model_args, train_args, rng, data_args.seq_len
     )
-    mesh = auto_data_parallel(data_args.batch_size)
 
     def train_stream(epoch: int) -> Iterator[Batch]:
         stream = signal_windows(
@@ -135,10 +138,11 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             shuffle_buffer=data_args.shuffle_buffer,
             max_per_map=data_args.max_per_map,
             seed=fit_args.seed + epoch,
+            shard=par.input_shard,
         )
-        for b in prefetch(batched(stream, data_args.batch_size)):
+        for b in prefetch(batched(stream, par.local_batch_size)):
             batch = Batch(*(jnp.asarray(x) for x in b))
-            yield shard_batch(batch, mesh) if mesh else batch
+            yield par.shard_batch(batch)
 
     bucket = chunk2 * BUCKET_CHUNKS
     val_fn = make_val_fn(model, bucket)
@@ -209,7 +213,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         train_stream=train_stream,
         validate=validate,
         on_validation=on_validation,
-        prepare_state=(lambda s: replicate(s, mesh)) if mesh else None,
+        prepare_state=par.prepare_state,
         lr_schedule=lambda step: lr_at(step, train_args.opt.lr, train_args.opt.schedule),
     )
     return fit(stage, fit_args, resume_from)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from osu_dreamer_tpu.data import batched, hold_out_mapsets, latent_windows, prefetch
-from osu_dreamer_tpu.parallel import auto_data_parallel, replicate, shard_batch
+from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
 from osu_dreamer_tpu.nn.schedule import lr_at
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
 from osu_dreamer_tpu.train.state import TrainState
@@ -45,6 +45,10 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     train_args = dataclass_from_dict(StyleTrainArgs, cfg.get("train", {}))
     data_args = dataclass_from_dict(StyleDataArgs, cfg.get("data", {}))
     fit_args = dataclass_from_dict(FitArgs, cfg.get("fit", {}))
+    par = build_parallelism(
+        dataclass_from_dict(ParallelArgs, cfg.get("parallel", {})),
+        data_args.batch_size,
+    )
 
     train_sets, val_sets = hold_out_mapsets(
         Path(data_args.data_dir), "*.latent.npz",
@@ -53,7 +57,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
 
     rng = jax.random.PRNGKey(fit_args.seed)
     model, state, train_step_fn = init_style_training(model_args, train_args, rng)
-    mesh = auto_data_parallel(data_args.batch_size)
 
     def train_stream(epoch: int):
         # style codes are per-map: stream full maps, keep (s, labels)
@@ -61,12 +64,12 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             (s.s, s.labels)
             for s in latent_windows(
                 train_sets, None, shuffle_buffer=data_args.shuffle_buffer,
-                seed=fit_args.seed + epoch,
+                seed=fit_args.seed + epoch, shard=par.input_shard,
             )
         )
-        for styles, labels in prefetch(_batched_pairs(stream, data_args.batch_size)):
+        for styles, labels in prefetch(_batched_pairs(stream, par.local_batch_size)):
             batch = (jnp.asarray(styles), jnp.asarray(labels))
-            yield shard_batch(batch, mesh) if mesh else batch
+            yield par.shard_batch(batch)
 
     def train_step(state: TrainState, batch):
         return train_step_fn(state, batch[0], batch[1])
@@ -101,7 +104,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         train_step=train_step,
         train_stream=train_stream,
         validate=validate,
-        prepare_state=(lambda s: replicate(s, mesh)) if mesh else None,
+        prepare_state=par.prepare_state,
         lr_schedule=lambda step: lr_at(step, train_args.opt.lr, train_args.opt.schedule),
     )
     return fit(stage, fit_args, resume_from)
