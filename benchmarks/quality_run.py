@@ -84,6 +84,94 @@ def hit_times_from_osu(text: str) -> np.ndarray:
     return np.asarray(times)
 
 
+def parse_objects(text: str) -> list[dict]:
+    """lenient hit-object rows: (x, y, t, kind) with kind from the type bits"""
+    rows = []
+    for line in text.split("[HitObjects]")[1].strip().splitlines():
+        p = line.split(",")
+        if len(p) < 4:
+            continue
+        t_bits = int(float(p[3]))
+        kind = "slider" if t_bits & 2 else ("spinner" if t_bits & 8 else "circle")
+        rows.append({"x": float(p[0]), "y": float(p[1]), "t": float(p[2]), "kind": kind})
+    return rows
+
+
+def difficulty_row(text: str) -> dict:
+    vals = {}
+    for line in text.split("[Difficulty]")[1].split("[", 1)[0].splitlines():
+        if ":" in line:
+            k, v = line.split(":", 1)
+            try:
+                vals[k.strip()] = float(v)
+            except ValueError:
+                pass
+    return vals
+
+
+def score_generated(gen_text: str, true_text: str, requested: tuple) -> dict:
+    """generation-side quality beyond onsets (VERDICT r1 item 5):
+
+    - object-type distribution of the generated chart vs the ground-truth
+      chart (the corpus targets ~65/27/8 circle/slider/spinner);
+    - label adherence: the [Difficulty] row the model predicted for its own
+      map vs the requested (sr, ar, od, cs, hp) conditioning, with sr
+      recomputed from the generated geometry by the same first-party
+      calculator that labeled the training data;
+    - cursor plausibility: in-playfield rate and step-distance statistics vs
+      ground truth. (Pointwise cursor MAE vs the true chart is NOT
+      meaningful for generation on this corpus: positions are sampled
+      randomly per map and are not audio-determined, so only distributional
+      agreement is scorable; the pointwise metric lives in the latent
+      stage's reconstruction val suite, models/latent/fit.py eval/cursor.)
+    """
+    gen = parse_objects(gen_text)
+    true = parse_objects(true_text)
+    out: dict[str, float] = {}
+
+    n = max(len(gen), 1)
+    for kind in ("circle", "slider", "spinner"):
+        out[f"gen_{kind}_frac"] = sum(o["kind"] == kind for o in gen) / n
+        out[f"true_{kind}_frac"] = (
+            sum(o["kind"] == kind for o in true) / max(len(true), 1)
+        )
+
+    # label adherence (requested sr, ar, od, cs, hp)
+    diff = difficulty_row(gen_text)
+    sr_req, ar_req, od_req, cs_req, hp_req = requested
+    out["ar_err"] = abs(diff.get("ApproachRate", np.nan) - ar_req)
+    out["od_err"] = abs(diff.get("OverallDifficulty", np.nan) - od_req)
+    out["cs_err"] = abs(diff.get("CircleSize", np.nan) - cs_req)
+    out["hp_err"] = abs(diff.get("HPDrainRate", np.nan) - hp_req)
+    try:
+        from osu_dreamer_tpu.osu import Beatmap
+        from osu_dreamer_tpu.osu.difficulty import star_rating
+
+        out["sr_achieved"] = star_rating(Beatmap(gen_text))
+        out["sr_err"] = abs(out["sr_achieved"] - sr_req)
+    except Exception:
+        pass  # strict parser can reject generated charts; sr then unscored
+
+    # cursor plausibility (circles + slider heads carry positions)
+    pos = np.array([[o["x"], o["y"]] for o in gen if o["kind"] != "spinner"])
+    tpos = np.array([[o["x"], o["y"]] for o in true if o["kind"] != "spinner"])
+    if len(pos) > 1 and len(tpos) > 1:
+        in_field = (
+            (pos[:, 0] >= 0) & (pos[:, 0] <= 512)
+            & (pos[:, 1] >= 0) & (pos[:, 1] <= 384)
+        )
+        out["pos_in_field_rate"] = float(in_field.mean())
+        step = np.linalg.norm(np.diff(pos, axis=0), axis=1)
+        tstep = np.linalg.norm(np.diff(tpos, axis=0), axis=1)
+        out["step_px_mean"] = float(step.mean())
+        out["true_step_px_mean"] = float(tstep.mean())
+        out["step_ratio"] = float(step.mean() / max(tstep.mean(), 1e-6))
+        out["pos_spread_ratio"] = float(
+            pos.std(axis=0).mean() / max(tpos.std(axis=0).mean(), 1e-6)
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mapsets", type=int, default=24)
@@ -229,30 +317,39 @@ def main() -> None:
         "--output-path", str(artifact))
 
     rng = np.random.default_rng(args.seed + 10_000)  # disjoint from training
+    REQUESTED = (2.5, 9.5, 8.0, 4.0, 5.0)
     f1s, precs, recs = [], [], []
+    gen_scores: list[dict] = []
     gen_dir = out / "generated"
     gen_dir.mkdir(exist_ok=True)
 
     for k in range(args.holdout_songs):
-        _, wave, true_onsets = make_mapset(rng, seconds=args.seconds)
+        texts, wave, true_onsets = make_mapset(rng, seconds=args.seconds)
         wav = gen_dir / f"holdout{k}.wav"
         write_wav(wav, wave)
         cwd = os.getcwd()
         os.chdir(gen_dir)
         try:
             cli("predict", "--model-path", str(artifact), "--audio-file", str(wav),
-                "--diff", "2.5", "9.5", "8", "4", "5",
+                "--diff", *(str(v) for v in REQUESTED),
                 "--sample-steps", str(args.sample_steps), "--seed", str(k))
         finally:
             os.chdir(cwd)
         osz = max(gen_dir.glob("*.osz"), key=lambda p: p.stat().st_mtime)
         with zipfile.ZipFile(osz) as z:
             osu_name = next(n for n in z.namelist() if n.endswith(".osu"))
-            pred = hit_times_from_osu(z.read(osu_name).decode())
+            gen_text = z.read(osu_name).decode()
+        pred = hit_times_from_osu(gen_text)
         p, r, f1 = onset_match(pred, true_onsets)
+        score = score_generated(gen_text, texts[0], REQUESTED)
+        gen_scores.append(score)
         print(
             f"[quality] holdout {k}: {len(pred)} generated vs "
-            f"{len(true_onsets)} true onsets -> P {p:.2f} R {r:.2f} F1 {f1:.2f}",
+            f"{len(true_onsets)} true onsets -> P {p:.2f} R {r:.2f} F1 {f1:.2f}; "
+            f"sliders {score.get('gen_slider_frac', 0):.2f} "
+            f"(true {score.get('true_slider_frac', 0):.2f}), "
+            f"sr {score.get('sr_achieved', float('nan')):.2f} "
+            f"(req {REQUESTED[0]})",
             file=sys.stderr,
         )
         precs.append(p); recs.append(r); f1s.append(f1)
@@ -262,6 +359,13 @@ def main() -> None:
         onset_recall=float(np.mean(recs)),
         onset_f1=float(np.mean(f1s)),
     )
+    # generation-side quality means over the holdout songs (item 5)
+    keys = sorted({k for s in gen_scores for k in s})
+    metrics.update({
+        f"gen/{k}": float(np.mean([s[k] for s in gen_scores if k in s]))
+        for k in keys
+        if any(k in s for s in gen_scores)
+    })
     print(json.dumps(metrics))
 
 

@@ -189,7 +189,7 @@ def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, 
 @click.command("predict")
 @click.option("--model-path", type=file_opt, required=True, help="inference artifact")
 @click.option("--audio-file", "audio_files", type=file_opt, required=True, multiple=True, help="audio file(s) to map; repeatable for bulk generation")
-@click.option("--diff", type=(float, float, float, float, float), multiple=True, help="difficulty conditioning (sr, ar, od, cs, hp); repeatable")
+@click.option("--diff", type=(float, float, float, float, float), multiple=True, help="difficulty conditioning (sr, ar, od, cs, hp); repeatable. NOTE: sr is this framework's first-party classic-model star rating (osu/difficulty.py) — close to, but not identical with, rosu-pp's current-algorithm values the reference trains on; models trained here interpret sr on the same scale the dataset was built with, so use sr values consistently within one pipeline")
 @click.option("--sample-steps", type=int, default=8, help="number of diffusion steps")
 @click.option("--style-guidance", type=float, default=1.0, help="classifier-free guidance over the style prior's null labels; 1.0 = plain conditional sampling (the reference's behavior), >1 sharpens difficulty adherence")
 @click.option("--title", type=str, help="song title (read from audio tags when omitted; single audio file only)")

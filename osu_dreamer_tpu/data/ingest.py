@@ -127,13 +127,46 @@ def _group_by_audio(
         }
 
 
+def normalize_hf_sample(sample: dict) -> dict:
+    """one raw HF corpus row (post ``cast_column('opus', Audio(SR))``) ->
+    the internal sample dict ``build_dataset`` consumes.
+
+    Schema per reference data/dataset.py:42-85: ``sample['opus']['array']``
+    holds the decoded wave, ``sample['json']`` carries ``audio_hash`` (the
+    corpus's own id, reused as the output directory name) and ``beatmaps``
+    rows with mode/approved/beatmap_id/content. Factored out of the
+    streaming loop so a recorded fixture page exercises the exact
+    normalization the live stream uses (tests/test_data_ingest.py).
+    """
+    audio = sample.get("opus") or {}
+    wave = np.asarray(audio.get("array", ()), np.float32)
+    meta = sample.get("json") or {}
+    beatmaps = [
+        {
+            "mode": int(b.get("mode", 0)),
+            "approved": int(b.get("approved", 0)),
+            "beatmap_id": int(b.get("beatmap_id", _stable_id(b.get("content", "")))),
+            "content": b.get("content", ""),
+        }
+        for b in meta.get("beatmaps", [])
+    ]
+    return {
+        "audio_bytes": None,
+        "audio_name": str(audio.get("path") or "audio.opus"),
+        "wave": wave,
+        "audio_hash": meta.get("audio_hash"),
+        "json": {"beatmaps": beatmaps},
+    }
+
+
 def iter_hf_samples(
     dataset_name: str = "project-riz/osu-beatmaps",
     config: str = "compressed",
 ) -> Iterator[dict]:
     """stream the HF beatmap corpus (reference dataset.py:34-38: all splits
-    concatenated, opus decoded at SR). Requires network egress; unvalidated
-    in this offline build environment — prefer ``--songs-dir`` locally."""
+    concatenated, opus decoded at SR). Requires network egress; the
+    normalization itself is fixture-tested offline — prefer ``--songs-dir``
+    for local libraries."""
     from osu_dreamer_tpu.audio import SR
 
     try:
@@ -148,24 +181,7 @@ def iter_hf_samples(
     for split in splits.values():
         split = split.cast_column("opus", Audio(sampling_rate=SR))
         for sample in split:
-            audio = sample.get("opus") or {}
-            wave = np.asarray(audio.get("array", ()), np.float32)
-            meta = sample.get("json") or {}
-            beatmaps = [
-                {
-                    "mode": int(b.get("mode", 0)),
-                    "approved": int(b.get("approved", 0)),
-                    "beatmap_id": int(b.get("beatmap_id", _stable_id(b.get("content", "")))),
-                    "content": b.get("content", ""),
-                }
-                for b in meta.get("beatmaps", [])
-            ]
-            yield {
-                "audio_bytes": None,
-                "audio_name": str(audio.get("path") or "audio.opus"),
-                "wave": wave,
-                "json": {"beatmaps": beatmaps},
-            }
+            yield normalize_hf_sample(sample)
 
 
 # -------------------------------------------------------------------- build --
@@ -202,6 +218,7 @@ def build_dataset(
     num_workers: int = 2,
     force: bool = False,
     songs_dir: Optional[Path] = None,
+    samples: Optional[Iterator[dict]] = None,
 ) -> Iterator[int]:
     """preprocess every source sample into the on-disk training layout,
     yielding 1 per map written (drives the CLI progress bar).
@@ -217,7 +234,8 @@ def build_dataset(
 
     data_dir = Path(data_dir)
     data_dir.mkdir(parents=True, exist_ok=True)
-    samples = iter_local_samples(songs_dir) if songs_dir else iter_hf_samples()
+    if samples is None:  # explicit `samples` = recorded fixture / test feed
+        samples = iter_local_samples(songs_dir) if songs_dir else iter_hf_samples()
 
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         for sample in samples:
@@ -229,11 +247,16 @@ def build_dataset(
             if not beatmaps:
                 continue
 
-            payload = sample["audio_bytes"]
-            if payload is None:
-                payload = np.ascontiguousarray(sample["wave"]).tobytes()
-            audio_hash = hashlib.md5(payload).hexdigest()[:16]
-            out_dir = data_dir / audio_hash
+            # the HF corpus carries its own audio_hash (reference
+            # dataset.py:42: it names the output directory); local ingest
+            # derives one from the audio bytes
+            audio_hash = sample.get("audio_hash")
+            if not audio_hash:
+                payload = sample["audio_bytes"]
+                if payload is None:
+                    payload = np.ascontiguousarray(sample["wave"]).tobytes()
+                audio_hash = hashlib.md5(payload).hexdigest()[:16]
+            out_dir = data_dir / str(audio_hash)
             spec_file = out_dir / "spec.npy"
 
             todo = [

@@ -66,6 +66,31 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     model, state, train_step = init_diffusion_training(
         model_args, train_args, rng, data_args.seq_len
     )
+    if par.sp_axis is not None:
+        # sequence-parallel training: same params (init above is seq_axis-
+        # free; the axis only changes the compute path), but the train step
+        # runs under shard_map with the window length sharded over `sp` —
+        # numerically identical to the unsharded step (test_parallel.py)
+        from dataclasses import replace as _replace
+
+        from osu_dreamer_tpu.train.state import make_optimizer
+
+        from .train import make_sp_train_step
+
+        n_sp = par.mesh.shape[par.sp_axis]
+        if data_args.seq_len % n_sp != 0:
+            raise ValueError(
+                f"data.seq_len {data_args.seq_len} must divide over "
+                f"parallel.sp={n_sp}"
+            )
+        sp_model = DiffusionModel(
+            _replace(
+                model_args, backbone=_replace(model_args.backbone, seq_axis=par.sp_axis)
+            )
+        )
+        train_step = make_sp_train_step(
+            sp_model, make_optimizer(train_args.opt), train_args, par.mesh
+        )
 
     def train_stream(epoch: int) -> Iterator[LatentBatch]:
         stream = latent_windows(

@@ -36,6 +36,12 @@ class BackboneArgs:
     n_heads: int = 16
     radius: int = 2
     dropout: float = 0.0
+    # mesh axis the sequence is sharded over (sequence parallelism): set via
+    # the config's `parallel: {sp: N}` block; attention becomes ring
+    # attention with global rotary offsets, the FFN/u-head convs halo-
+    # exchange across shard boundaries, and reductions over length pmean —
+    # sharded compute equals the unsharded model (tests/test_parallel.py)
+    seq_axis: str | None = None
 
 
 @dataclass
@@ -71,6 +77,18 @@ class DiffusionModelArgs:
 _U_BIAS_INIT = -0.4328
 
 
+def _local_slice_of_global_noise(
+    rng: jax.Array, B: int, l_local: int, emb: int, axis_name: str
+) -> jnp.ndarray:
+    """under shard_map: generate the full-length N(0,1) field on every shard
+    and take this shard's span — cheap, and keeps sharded runs numerically
+    identical to unsharded ones for the same key"""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    full = jax.random.normal(rng, (B, l_local * n, emb), jnp.float32)
+    return jax.lax.dynamic_slice_in_dim(full, idx * l_local, l_local, axis=1)
+
+
 class BackboneLayer(nn.Module):
     """pre-norm transformer layer, doubly FiLM-gated by the global cond, with
     the local audio features added ahead of attention (reference
@@ -93,16 +111,18 @@ class BackboneLayer(nn.Module):
 
         scale, shift, gate = film("film_attn")
         h = rms_norm(x) * (1 + scale) + shift
-        h = RoPEAttention(a.n_heads, a.head_dim, self.dim, self.dtype, name="attn")(
-            h + nn.Dense(self.dim, dtype=self.dtype, name="audio_proj")(audio)
-        )
+        h = RoPEAttention(
+            a.n_heads, a.head_dim, self.dim, self.dtype,
+            seq_axis=a.seq_axis, name="attn",
+        )(h + nn.Dense(self.dim, dtype=self.dtype, name="audio_proj")(audio))
         x = x + rms_norm(h) * gate
 
         scale, shift, gate = film("film_ffn")
         h = rms_norm(x) * (1 + scale) + shift
-        h = SwiGLU(self.dim, a.expand, a.radius, a.dropout, self.dtype, name="ffn")(
-            h, train=train
-        )
+        h = SwiGLU(
+            self.dim, a.expand, a.radius, a.dropout, self.dtype,
+            seq_axis=a.seq_axis, name="ffn",
+        )(h, train=train)
         x = x + rms_norm(h) * gate
         return x
 
@@ -178,7 +198,19 @@ class DiffusionModel(nn.Module):
         h = self.net(h, audio_c, cond_g, train=train)
         v = self.proj_out(h)
 
-        f = self.u_convs(xt).mean(axis=1)  # (B, U)
+        sp = self.args.backbone.seq_axis
+        if sp is None:
+            f = self.u_convs(xt).mean(axis=1)  # (B, U)
+        else:
+            # sequence-parallel: the two radius-1 convs see a 2-frame ring
+            # halo (global edges zero, matching SAME padding), interior
+            # frames are cropped back, and the time mean is pmean'd so every
+            # shard carries the same global u
+            from osu_dreamer_tpu.ops.ring_attention import halo_exchange
+
+            xt_ext = halo_exchange(xt, 2, sp)
+            f = self.u_convs(xt_ext)[:, 2:-2].mean(axis=1)
+            f = jax.lax.pmean(f, sp)
         scale, shift = jnp.split(self.u_film(cond_g), 2, axis=-1)
         f = f * (1 + scale) + shift
         u = self.args.u_scale * nn.softplus(self.u_out(f).astype(jnp.float32))[:, 0]
@@ -206,7 +238,18 @@ class DiffusionModel(nn.Module):
         )
         assert style.shape[-1] == self.args.style_dim, f"bad style shape {style.shape}"
         B = style.shape[0]
-        x0 = jax.random.normal(rng, (B, audio.shape[1], self.args.emb_dim), jnp.float32)
+        sp = self.args.backbone.seq_axis
+        if sp is None:
+            x0 = jax.random.normal(
+                rng, (B, audio.shape[1], self.args.emb_dim), jnp.float32
+            )
+        else:
+            # sequence-parallel: every shard draws the SAME global noise and
+            # slices its local span — sharded sampling is bit-deterministic
+            # and equals the unsharded sampler for a given key
+            x0 = _local_slice_of_global_noise(
+                rng, B, audio.shape[1], self.args.emb_dim, sp
+            )
 
         audio_c, cond_g = self.precompute_cond(audio, style)
 

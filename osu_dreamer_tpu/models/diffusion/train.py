@@ -51,10 +51,17 @@ class LatentBatch(NamedTuple):
     labels: jnp.ndarray  # (B, NUM_LABELS)
 
 
-def frame_dist_sq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """squared distance in the per-frame metric: channel sum, length mean"""
+def frame_dist_sq(
+    a: jnp.ndarray, b: jnp.ndarray, seq_axis: str | None = None
+) -> jnp.ndarray:
+    """squared distance in the per-frame metric: channel sum, length mean.
+    ``seq_axis``: the length dim is sharded over that mesh axis (shard_map) —
+    the local mean is pmean'd so every shard carries the global value."""
     d = (a - b).astype(jnp.float32)
-    return (d * d).sum(axis=-1).mean(axis=-1)
+    r = (d * d).sum(axis=-1).mean(axis=-1)
+    if seq_axis is not None:
+        r = jax.lax.pmean(r, seq_axis)
+    return r
 
 
 def diffusion_loss(
@@ -64,33 +71,61 @@ def diffusion_loss(
     batch: LatentBatch,
     args: DiffusionTrainArgs,
     train: bool = True,
+    data_axis: str | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """``data_axis``/the model's ``backbone.seq_axis`` mark mesh axes this
+    runs under (shard_map): batch sharded over ``data_axis``, length over
+    ``seq_axis``. Stochastic draws are made at GLOBAL shape and locally
+    sliced, so a sharded step is numerically identical to the unsharded
+    step for the same key."""
+    sp = model.args.backbone.seq_axis
     B = batch.z.shape[0]
     k_t, k_noise = jax.random.split(rng)
 
-    t = stratified_logit_normal_t(k_t, B)
-    x0 = jax.random.normal(k_noise, batch.z.shape, jnp.float32)
+    if data_axis is None and sp is None:
+        t = stratified_logit_normal_t(k_t, B)
+        x0 = jax.random.normal(k_noise, batch.z.shape, jnp.float32)
+    else:
+        n_data = jax.lax.axis_size(data_axis) if data_axis else 1
+        didx = jax.lax.axis_index(data_axis) if data_axis else 0
+        n_sp = jax.lax.axis_size(sp) if sp else 1
+        sidx = jax.lax.axis_index(sp) if sp else 0
+        Bg, l = B * n_data, batch.z.shape[1]
+        t = jax.lax.dynamic_slice_in_dim(
+            stratified_logit_normal_t(k_t, Bg), didx * B, B
+        )
+        x0_full = jax.random.normal(
+            k_noise, (Bg, l * n_sp, batch.z.shape[2]), jnp.float32
+        )
+        x0 = jax.lax.dynamic_slice(
+            x0_full, (didx * B, sidx * l, 0), (B, l, batch.z.shape[2])
+        )
     x1 = batch.z.astype(jnp.float32)
     xt = x0 + t[:, None, None] * (x1 - x0)
 
     u_pred, v_pred = model.apply(params, batch.h, batch.s, xt, train=train)
 
     c0 = model.args.c0
-    d_sq = frame_dist_sq(xt, x1)
+    d_sq = frame_dist_sq(xt, x1, sp)
     u_target = jnp.sqrt(d_sq + c0)
 
     # one-step denoising, weighted by inverse squared distance
     denoised = xt - u_pred[:, None, None] * v_pred.astype(jnp.float32)
-    osl = (frame_dist_sq(denoised, x1) / (d_sq + c0)).mean()
+    osl = (frame_dist_sq(denoised, x1, sp) / (d_sq + c0)).mean()
 
     # directional eikonal: length-neutral supervision of the direction field
     v_target = (xt - x1) / u_target[:, None, None]
-    del_ = frame_dist_sq(v_pred, v_target).mean()
+    del_ = frame_dist_sq(v_pred, v_target, sp).mean()
 
     loss = args.osl_weight * osl + args.del_weight * del_
     u_mape = (jnp.abs(u_pred - u_target) / u_target).mean()
 
-    return loss, {"loss": loss, "osl": osl, "del": del_, "u_mape": u_mape}
+    out = {"loss": loss, "osl": osl, "del": del_, "u_mape": u_mape}
+    if data_axis is not None:
+        # batch means above were over the local shard; average across hosts
+        out = jax.tree.map(lambda v: jax.lax.pmean(v, data_axis), out)
+        loss = out["loss"]
+    return loss, out
 
 
 def make_train_step(
@@ -117,6 +152,59 @@ def make_train_step(
         return new_state, aux
 
     return train_step
+
+
+def make_sp_train_step(
+    model: DiffusionModel,
+    tx: optax.GradientTransformation,
+    args: DiffusionTrainArgs,
+    mesh,
+    data_axis: str | None = "data",
+):
+    """sequence-parallel train step: the whole update runs under shard_map
+    on a ``(data, sp)`` mesh — batch sharded over ``data``, sequence length
+    over the model's ``backbone.seq_axis``; params/optimizer state are
+    replicated and every shard computes the identical update (gradient
+    psums are emitted by autodiff through the in-loss pmeans). Numerically
+    identical to the unsharded step for the same key
+    (tests/test_parallel.py test_sp_train_step_matches_single_device)."""
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+    sp = model.args.backbone.seq_axis
+    assert sp is not None, "model must be built with backbone.seq_axis set"
+    batch_spec = LatentBatch(
+        h=P(data_axis, sp), z=P(data_axis, sp), s=P(data_axis), labels=P(data_axis)
+    )
+
+    def body(state: TrainState, batch: LatentBatch):
+        rng, step_rng = jax.random.split(state.rng)
+        grad_fn = jax.value_and_grad(
+            lambda p: diffusion_loss(
+                model, p, step_rng, batch, args, data_axis=data_axis
+            ),
+            has_aux=True,
+        )
+        (_, aux), grads = grad_fn(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            rng=rng,
+            ema_params=ema_update(state.ema_params, params, args.ema_decay),
+        )
+        return new_state, aux
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), batch_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def init_diffusion_training(

@@ -115,6 +115,11 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         dataclass_from_dict(ParallelArgs, cfg.get("parallel", {})),
         data_args.batch_size,
     )
+    if par.sp_axis is not None:
+        raise ValueError(
+            "parallel.sp applies to the denoiser stage only (its backbone "
+            "is sequence-parallel-aware); this stage scales via dp/tp"
+        )
 
     chunk2 = 2 * model_args.chunk_size
     assert data_args.seq_len % chunk2 == 0, (

@@ -50,6 +50,10 @@ class SwiGLU(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
     fused: bool | None = None
+    # mesh axis the LENGTH dim is sharded over (inside shard_map): the
+    # depthwise conv then halo-exchanges `radius` frames with ring
+    # neighbors so sharded outputs equal the unsharded computation
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -65,6 +69,12 @@ class SwiGLU(nn.Module):
         vg_bias = self.param("vg_bias", zeros_init, (2 * h_dim,), jnp.float32)
         out_kernel = self.param("out_kernel", lecun, (h_dim, self.dim), jnp.float32)
         out_bias = self.param("out_bias", zeros_init, (self.dim,), jnp.float32)
+
+        if self.seq_axis is not None:
+            return self._sharded_forward(
+                x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias,
+                train,
+            )
 
         use_fused = self.fused if self.fused is not None else _pallas_swiglu_default()
         if self.fused is None and use_fused:
@@ -108,6 +118,31 @@ class SwiGLU(nn.Module):
         v, g = jnp.split(vg, 2, axis=-1)
         h = rms_norm(v * nn.silu(g))
         h = nn.Dropout(self.dropout, deterministic=False)(h)
+        return h @ out_kernel.astype(h.dtype) + out_bias.astype(h.dtype)
+
+    def _sharded_forward(
+        self, x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias,
+        train: bool,
+    ) -> jnp.ndarray:
+        """sequence-parallel path (under shard_map): depthwise conv reads a
+        ring halo so shard outputs equal the unsharded computation; every
+        other stage is per-frame"""
+        x = x.astype(self.dtype)
+        L = x.shape[1]
+        if dw_kernel is not None:
+            from osu_dreamer_tpu.ops.ring_attention import halo_exchange
+
+            xp = halo_exchange(x, self.radius, self.seq_axis)
+            K = 1 + 2 * self.radius
+            x = sum(
+                xp[:, k : k + L, :] * dw_kernel[k].astype(x.dtype)
+                for k in range(K)
+            ) + dw_bias.astype(x.dtype)
+        vg = x @ vg_kernel.astype(x.dtype) + vg_bias.astype(x.dtype)
+        v, g = jnp.split(vg, 2, axis=-1)
+        h = rms_norm(v * nn.silu(g))
+        if self.dropout > 0 and train:
+            h = nn.Dropout(self.dropout, deterministic=False)(h)
         return h @ out_kernel.astype(h.dtype) + out_bias.astype(h.dtype)
 
 

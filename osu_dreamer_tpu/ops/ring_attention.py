@@ -72,6 +72,22 @@ def ring_attention(
     return (o / l.transpose(0, 2, 1)[..., None]).astype(q.dtype)
 
 
+def halo_exchange(x: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarray:
+    """(B, L_shard, C) -> (B, L_shard + 2*radius, C): prepend/append `radius`
+    REAL frames from the ring neighbors so sharded convolutions see across
+    shard boundaries; the global first/last shards get zeros (matching the
+    unsharded 'SAME' zero padding). Call under shard_map."""
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # my tail -> next's head halo
+    bwd = [((i + 1) % n, i) for i in range(n)]   # my head -> prev's tail halo
+    from_prev = jax.lax.ppermute(x[:, -radius:], axis_name, fwd)
+    from_next = jax.lax.ppermute(x[:, :radius], axis_name, bwd)
+    from_prev = jnp.where(idx == 0, jnp.zeros_like(from_prev), from_prev)
+    from_next = jnp.where(idx == n - 1, jnp.zeros_like(from_next), from_next)
+    return jnp.concatenate([from_prev, x, from_next], axis=1)
+
+
 def sequence_parallel_attention(q, k, v, mesh, axis_name: str = "sp"):
     """convenience wrapper: shard (B, L, H, D) tensors on L over `axis_name`
     of `mesh` and run ring attention; returns the unsharded result"""

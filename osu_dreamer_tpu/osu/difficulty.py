@@ -15,6 +15,16 @@ Star rating is only consumed as a difficulty *label* for model conditioning
 implementation with identical semantics is available in
 ``native/osudreamer_native.cpp`` and used automatically when built (star
 rating runs once per map at dataset-build time).
+
+SCALE CAVEAT (VERDICT r1 item 4): rosu-pp computes osu!'s *current*
+difficulty algorithm; this classic model tracks it approximately — the
+calibration suite (tests/test_difficulty.py) pins archetype patterns to the
+official scale's star bands and monotonicity properties, but no per-map
+deviation bound vs rosu exists because rosu cannot run in this offline
+environment. The scale is self-consistent: labels written at dataset-build
+time and ``predict --diff`` values are interpreted identically. Re-validate
+(and if needed fit a monotone correction) against rosu-pp on a real corpus
+once egress is available.
 """
 
 from __future__ import annotations

@@ -39,6 +39,10 @@ from .tp import shard_by_rules, tp_mesh
 class ParallelArgs:
     dp: int = -1
     tp: int = 1
+    # sequence-parallel span (denoiser stage only): the train step runs
+    # under shard_map on a (data, sp) mesh with the window length sharded
+    # over `sp` — ring attention, halo'd convs, pmean'd reductions
+    sp: int = 1
     coordinator: Optional[str] = None
     num_processes: Optional[int] = None
     process_id: Optional[int] = None
@@ -56,9 +60,13 @@ class Parallelism:
     # rows THIS process loads per step (global batch / process_count);
     # make_global_batch assembles them into the global sharded batch
     local_batch_size: int = 0
+    # name of the sequence-parallel mesh axis when `sp` > 1 (else None);
+    # the diffusion fit builds its shard_map train step from it
+    sp_axis: Optional[str] = None
 
     def shard_batch(self, batch: Any) -> Any:
-        if self.mesh is None:
+        if self.mesh is None or self.sp_axis is not None:
+            # sp: the shard_map train step's in_specs place the batch
             return batch
         if self.process_count > 1:
             return make_global_batch(batch, self.mesh)
@@ -90,9 +98,36 @@ def build_parallelism(args: ParallelArgs, batch_size: int) -> Parallelism:
             f"{n_proc} processes"
         )
 
+    if args.tp > 1 and args.sp > 1:
+        raise ValueError("parallel.tp and parallel.sp cannot be combined (yet)")
+
     mesh = None
     prepare = None
-    if args.tp > 1:
+    sp_axis = None
+    if args.sp > 1:
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) % args.sp != 0:
+            raise ValueError(
+                f"{len(devices)} devices not divisible by parallel.sp={args.sp}"
+            )
+        n_data = len(devices) // args.sp
+        if batch_size % max(n_data, 1) != 0:
+            raise ValueError(
+                f"batch size {batch_size} not divisible by the {n_data}-way "
+                f"data axis of the (data={n_data}, sp={args.sp}) mesh"
+            )
+        mesh = Mesh(
+            np.array(devices).reshape(n_data, args.sp), axis_names=("data", "sp")
+        )
+        sp_axis = "sp"
+        print(
+            f"[parallel] sequence-parallel: (data={n_data}, sp={args.sp}) mesh, "
+            "window length sharded over sp"
+        )
+    elif args.tp > 1:
         mesh = tp_mesh(args.tp)
         n_data = mesh.shape["data"]
         if batch_size % n_data != 0:
@@ -135,4 +170,5 @@ def build_parallelism(args: ParallelArgs, batch_size: int) -> Parallelism:
         process_index=proc_id,
         process_count=n_proc,
         local_batch_size=batch_size // n_proc,
+        sp_axis=sp_axis,
     )

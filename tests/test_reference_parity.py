@@ -9,7 +9,10 @@ Its three native deps are replaced with minimal test-only stubs:
 - rosu_pp_py (reference beatmap.py:11,67-75): only difficulty *attributes*
   are consumed by the codec path; the stub parses them from the .osu text.
   Star rating is pinned to a dummy (our sr is first-party and intentionally
-  not rosu-identical), so labels[0] is excluded from comparisons.
+  not rosu-identical), so labels[0] is excluded from comparisons here —
+  its scale is instead pinned by the dedicated calibration suite
+  (tests/test_difficulty.py: archetype star bands, monotonicity,
+  regression goldens, C++/python agreement).
 - torchcodec / resonators (reference load_audio.py:7-8): imported at module
   scope by load_audio but unused by the beatmap codec; stubbed as empty.
 
