@@ -74,6 +74,51 @@ def measure_train_step(
     }
 
 
+def measure_latent_step(
+    batch: int = 32, seq: int = 2052, steps: int = 5, peak: float = 197e12
+) -> dict:
+    """latent (stage-1) train step at the reference config (batch 32, window
+    2052 frames — latent/model.yml:51,54): ms/step + XLA flops + MFU, plus a
+    record that the full-size config fits one chip's HBM for training"""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.audio import A_DIM
+    from osu_dreamer_tpu.models.latent.model import LatentModelArgs
+    from osu_dreamer_tpu.models.latent.train import (
+        Batch,
+        LatentTrainArgs,
+        init_latent_training,
+    )
+    from osu_dreamer_tpu.signal import X_DIM
+
+    key = jax.random.PRNGKey(0)
+    _, state, train_step = init_latent_training(
+        LatentModelArgs(), LatentTrainArgs(), key, seq_len=seq
+    )
+    k1, k2 = jax.random.split(key)
+    data = Batch(
+        audio=jax.random.normal(k1, (batch, seq, A_DIM)),
+        chart=jax.random.normal(k2, (batch, seq, X_DIM)),
+        labels=jnp.ones((batch, 5)),
+    )
+    data = jax.device_put(data)
+    cost = train_step.lower(state, data).compile().cost_analysis()
+    flops = float((cost or {}).get("flops", 0.0))
+    state, _ = train_step(state, data)
+    jax.block_until_ready(state.params)
+    t0 = time.time()
+    for _ in range(steps):
+        state, _ = train_step(state, data)
+    jax.block_until_ready(state.params)
+    dt = (time.time() - t0) / steps
+    return {
+        "ms_per_step": round(dt * 1e3, 1),
+        "xla_flops_tf": round(flops / 1e12, 3),
+        "mfu": round(flops / peak / dt, 4) if flops else None,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
