@@ -8,9 +8,13 @@ Here the decode stack is:
    pure-numpy parser below. Handles
    PCM u8/s16/s24/s32 and float32/64, any channel count and sample rate;
    resampling is polyphase windowed-sinc.
-2. anything else (mp3/ogg/opus/...): an ``ffmpeg`` binary if one is on PATH
-   (decodes to raw f32le PCM over a pipe). This environment ships no codec
-   libraries, so compressed formats are gated on ffmpeg's presence.
+2. anything else (mp3/ogg/opus/aac/flac/...): the first-party C++ libav
+   shim (``native/audiodecode_av.cpp``) linking the system FFmpeg libraries
+   — the same codec stack torchcodec wraps — decoding + resampling to mono
+   SR in one pass; round-trip-tested offline incl. opus, the HF corpus's
+   format (tests/test_av_decode.py).
+3. fallback when the shim isn't built: an ``ffmpeg`` binary on PATH
+   (raw f32le PCM over a pipe).
 """
 
 from __future__ import annotations
@@ -43,6 +47,21 @@ def load_wave(audio_file: str | Path) -> np.ndarray:
             return native.resample(mono, rate, SR) if rate != SR else mono
         wave, rate = _decode_wav(audio_file)
         return resample(wave.mean(axis=1), rate, SR)
+
+    # compressed formats: the first-party libav shim (native/
+    # audiodecode_av.cpp, links the system FFmpeg libraries — the same
+    # codecs torchcodec wraps for the reference) with an ffmpeg-binary pipe
+    # as the fallback
+    from osu_dreamer_tpu import native
+
+    if native.av_available():
+        try:
+            wave = native.av_decode(audio_file, SR)
+        except ValueError as e:
+            raise AudioDecodeError(str(e)) from e
+        if len(wave) == 0:
+            raise AudioDecodeError(f"{audio_file}: no audio samples decoded")
+        return wave
     return _decode_via_ffmpeg(audio_file)
 
 

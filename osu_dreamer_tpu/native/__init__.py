@@ -116,6 +116,67 @@ def resonate(
     return out_re.astype(np.complex64) + 1j * out_im.astype(np.complex64)
 
 
+# ------------------------------------------------- libav decode shim --
+# separate shared object (native/audiodecode_av.cpp) linking the system
+# FFmpeg libraries — the first-party replacement for torchcodec's decoders
+
+_AV_LIB_PATH = Path(__file__).parent / "libosudreamer_av.so"
+_av_lib: ctypes.CDLL | None = None
+
+
+def _load_av() -> ctypes.CDLL | None:
+    global _av_lib
+    if _av_lib is not None:
+        return _av_lib
+    if not _AV_LIB_PATH.exists():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_AV_LIB_PATH))
+    except OSError:  # system libav missing at runtime
+        return None
+    lib.odn_av_decode.argtypes = [
+        ctypes.c_char_p, c_int32, POINTER(POINTER(c_float)),
+    ]
+    lib.odn_av_decode.restype = c_int64
+    lib.odn_av_free.argtypes = [POINTER(c_float)]
+    lib.odn_av_free.restype = None
+    lib.odn_av_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, POINTER(c_float), c_int64, c_int32,
+    ]
+    lib.odn_av_encode.restype = c_int32
+    _av_lib = lib
+    return lib
+
+
+def av_available() -> bool:
+    return _load_av() is not None
+
+
+def av_decode(path: str | Path, target_sr: int) -> np.ndarray:
+    """decode any libav-supported audio file -> mono float32 at target_sr"""
+    lib = _load_av()
+    assert lib is not None
+    out_ptr = POINTER(c_float)()
+    n = lib.odn_av_decode(str(path).encode(), target_sr, ctypes.byref(out_ptr))
+    if n < 0:
+        raise ValueError(f"libav decode failed for {path} (code {n})")
+    try:
+        wave = np.ctypeslib.as_array(out_ptr, shape=(n,)).copy()
+    finally:
+        lib.odn_av_free(out_ptr)
+    return wave
+
+
+def av_encode(path: str | Path, codec: str, wave: np.ndarray, sr: int) -> None:
+    """TEST helper: encode a mono wave with the named libav codec"""
+    lib = _load_av()
+    assert lib is not None
+    w = np.ascontiguousarray(wave, np.float32)
+    rc = lib.odn_av_encode(str(path).encode(), codec.encode(), _fptr(w), len(w), sr)
+    if rc != 0:
+        raise ValueError(f"libav encode ({codec}) failed for {path} (code {rc})")
+
+
 def star_rating(times: np.ndarray, xs: np.ndarray, ys: np.ndarray, cs: float) -> float:
     lib = _load()
     assert lib is not None
