@@ -16,6 +16,7 @@ import warnings
 from typing import TYPE_CHECKING
 
 import numpy as np
+from jaxtyping import Float
 
 if TYPE_CHECKING:
     from osu_dreamer_tpu.osu import Beatmap
@@ -28,7 +29,7 @@ def preempt_ms(ar: float) -> float:
     return 1200.0 + (120.0 if ar <= 5 else 150.0) * (5.0 - ar)
 
 
-def cursor_signal(bm: "Beatmap", frame_times: np.ndarray) -> np.ndarray:
+def cursor_signal(bm: "Beatmap", frame_times: Float[np.ndarray, "L"]) -> Float[np.ndarray, "2 L"]:
     """(2, L) cursor position in [0,1]^2 (origin bottom-left of playfield)"""
     from osu_dreamer_tpu.osu import Circle, Slider, Spinner
 

@@ -12,6 +12,7 @@ from enum import IntEnum
 from typing import TYPE_CHECKING, BinaryIO
 
 import numpy as np
+from jaxtyping import Float
 
 if TYPE_CHECKING:
     from osu_dreamer_tpu.osu import Beatmap
@@ -51,7 +52,7 @@ HIT_DTYPE = np.uint8
 XY_DTYPE = np.uint16
 
 
-def get_labels(bm: "Beatmap") -> np.ndarray:
+def get_labels(bm: "Beatmap") -> Float[np.ndarray, "5"]:
     return np.array([bm.sr, bm.ar, bm.od, bm.cs, bm.hp])
 
 
@@ -61,7 +62,7 @@ def _reject_nan(x: np.ndarray, what: str) -> np.ndarray:
     return x
 
 
-def write_beatmap(f: BinaryIO, bm: "Beatmap", frame_times: np.ndarray) -> None:
+def write_beatmap(f, bm: "Beatmap", frame_times: Float[np.ndarray, "L"]) -> None:
     """encode + quantize a beatmap to one npz: uint8 hit signals, min-max
     normalized uint16 cursor + (xy_min, xy_rng) dequantization params, labels"""
     from .cursor import cursor_signal
@@ -85,7 +86,7 @@ def write_beatmap(f: BinaryIO, bm: "Beatmap", frame_times: np.ndarray) -> None:
     )
 
 
-def read_beatmap(f: BinaryIO) -> tuple[np.ndarray, np.ndarray]:
+def read_beatmap(f) -> tuple[Float[np.ndarray, "9 L"], Float[np.ndarray, "5"]]:
     """-> ((X_DIM, L) float signal, (NUM_LABELS,) labels)"""
     with np.load(f) as npz:
         hit = npz["hit"].astype(float) / np.iinfo(HIT_DTYPE).max

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING, Sequence, Union
 
 import numpy as np
+from jaxtyping import Float
 
 from .encoding import HIT_DIM, Channel
 
@@ -41,8 +42,10 @@ Hit = Union[
 
 
 def events_signal(
-    ts: Sequence[float], frame_times: np.ndarray, sigma: float = EVENT_SIGMA_MS
-) -> np.ndarray:
+    ts: Sequence[float],
+    frame_times: Float[np.ndarray, "L"],
+    sigma: float = EVENT_SIGMA_MS,
+) -> Float[np.ndarray, "L"]:
     """gaussian bump (max-pooled) at each event time; windowed to +-5 sigma"""
     sig = np.zeros_like(frame_times)
     if len(ts) == 0:
@@ -61,8 +64,8 @@ def events_signal(
 
 
 def extents_signal(
-    regions: Sequence[tuple[float, float]], frame_times: np.ndarray
-) -> np.ndarray:
+    regions: Sequence[tuple[float, float]], frame_times: Float[np.ndarray, "L"]
+) -> Float[np.ndarray, "L"]:
     """1 on frames with start <= t < end for any region, else 0"""
     sig = np.zeros_like(frame_times)
     for start, end in regions:
@@ -72,7 +75,7 @@ def extents_signal(
     return sig
 
 
-def hit_signal(bm: "Beatmap", frame_times: np.ndarray) -> np.ndarray:
+def hit_signal(bm: "Beatmap", frame_times: Float[np.ndarray, "L"]) -> Float[np.ndarray, "7 L"]:
     """(7, L) stack: onsets / new combos / first-slide / sustains / 3 hit sounds"""
     assert frame_times.ndim == 1, f"frame_times must be 1-D, got {frame_times.shape}"
     from osu_dreamer_tpu.osu import Slider, Spinner
@@ -100,14 +103,14 @@ def hit_signal(bm: "Beatmap", frame_times: np.ndarray) -> np.ndarray:
 # ----------------------------------------------------------------- decoding --
 
 
-def decode_events(sig: np.ndarray) -> list[int]:
+def decode_events(sig: Float[np.ndarray, "L"]) -> list[int]:
     """frame indices of bump peaks"""
     from scipy.signal import find_peaks
 
     return find_peaks(sig, height=PEAK_HEIGHT)[0].tolist()
 
 
-def decode_extents(sig: np.ndarray) -> tuple[list[int], list[int]]:
+def decode_extents(sig: Float[np.ndarray, "L"]) -> tuple[list[int], list[int]]:
     """paired (starts, ends) of the 0.5-thresholded intervals"""
     binary = sig > 0.5
     rising = np.flatnonzero(~binary[:-1] & binary[1:]).tolist()
@@ -127,7 +130,7 @@ def decode_extents(sig: np.ndarray) -> tuple[list[int], list[int]]:
     return starts, ends
 
 
-def decode_hit_signal(sig: np.ndarray) -> list[Hit]:
+def decode_hit_signal(sig: Float[np.ndarray, "7 L"]) -> list[Hit]:
     """(7, L) hit signal -> list of hits/holds, matching extent starts and
     property peaks to onsets within +-ONSET_TOL_FRAMES"""
     assert sig.shape[0] == HIT_DIM
