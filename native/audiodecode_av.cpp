@@ -129,11 +129,35 @@ int64_t odn_av_decode(const char* path, int32_t target_sr, float** out_ptr) {
 
 void odn_av_free(float* p) { free(p); }
 
+// Read container metadata tags (title/artist — ID3, Vorbis comments, MP4
+// atoms, ... whatever the demuxer exposes) into caller buffers. Returns 0
+// on success; empty strings for absent tags.
+int32_t odn_av_tags(const char* path, char* title, char* artist, int32_t cap) {
+    av_log_set_level(AV_LOG_ERROR);
+    AVFormatContext* fmt = nullptr;
+    if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
+    title[0] = artist[0] = '\0';
+    auto grab = [&](const char* key, char* dst) {
+        const AVDictionaryEntry* e = av_dict_get(fmt->metadata, key, nullptr, 0);
+        if (!e && fmt->nb_streams > 0)
+            e = av_dict_get(fmt->streams[0]->metadata, key, nullptr, 0);
+        if (e && e->value) {
+            std::strncpy(dst, e->value, cap - 1);
+            dst[cap - 1] = '\0';
+        }
+    };
+    grab("title", title);
+    grab("artist", artist);
+    avformat_close_input(&fmt);
+    return 0;
+}
+
 // TEST-ONLY helper: encode a mono float32 wave into `path` with the named
 // codec (e.g. "flac", "aac", "libvorbis"/"vorbis"); container inferred from
 // the path suffix. Returns 0 on success.
 int32_t odn_av_encode(const char* path, const char* codec_name,
-                      const float* wave, int64_t n, int32_t sr) {
+                      const float* wave, int64_t n, int32_t sr,
+                      const char* title, const char* artist) {
     av_log_set_level(AV_LOG_ERROR);
     AVFormatContext* fmt = nullptr;
     if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
@@ -166,6 +190,9 @@ int32_t odn_av_encode(const char* path, const char* codec_name,
         swr_init(swr) < 0) {
         avcodec_free_context(&enc); avformat_free_context(fmt); return -5;
     }
+
+    if (title && title[0]) av_dict_set(&fmt->metadata, "title", title, 0);
+    if (artist && artist[0]) av_dict_set(&fmt->metadata, "artist", artist, 0);
 
     int rc = 0;
     if (!(fmt->oformat->flags & AVFMT_NOFILE))

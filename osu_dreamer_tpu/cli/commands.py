@@ -440,6 +440,17 @@ def _write_mapset(audio_file, title, artist, entries) -> None:
 
 
 def _resolve_metadata(audio_file: Path, title: Optional[str], artist: Optional[str]):
+    """fill missing title/artist from the audio's container tags: the
+    first-party libav reader (ID3/Vorbis/MP4 via native/audiodecode_av.cpp)
+    first, tinytag if importable (the reference's reader,
+    scripts/predict.py:40-52), then filename fallbacks"""
+    if title is None or artist is None:
+        from osu_dreamer_tpu import native
+
+        if native.av_available():
+            t, a = native.av_tags(audio_file)
+            title = title or (t or None)
+            artist = artist or (a or None)
     if title is None or artist is None:
         try:
             from tinytag import TinyTag

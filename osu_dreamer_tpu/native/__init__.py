@@ -142,8 +142,13 @@ def _load_av() -> ctypes.CDLL | None:
     lib.odn_av_free.restype = None
     lib.odn_av_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, POINTER(c_float), c_int64, c_int32,
+        ctypes.c_char_p, ctypes.c_char_p,
     ]
     lib.odn_av_encode.restype = c_int32
+    lib.odn_av_tags.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, c_int32,
+    ]
+    lib.odn_av_tags.restype = c_int32
     _av_lib = lib
     return lib
 
@@ -167,12 +172,34 @@ def av_decode(path: str | Path, target_sr: int) -> np.ndarray:
     return wave
 
 
-def av_encode(path: str | Path, codec: str, wave: np.ndarray, sr: int) -> None:
+def av_tags(path: str | Path) -> tuple[str, str]:
+    """(title, artist) container tags via libavformat (ID3 / Vorbis
+    comments / MP4 atoms); empty strings when absent"""
+    lib = _load_av()
+    assert lib is not None
+    title = ctypes.create_string_buffer(512)
+    artist = ctypes.create_string_buffer(512)
+    rc = lib.odn_av_tags(str(path).encode(), title, artist, 512)
+    if rc != 0:
+        return "", ""
+    return (
+        title.value.decode("utf-8", errors="replace"),
+        artist.value.decode("utf-8", errors="replace"),
+    )
+
+
+def av_encode(
+    path: str | Path, codec: str, wave: np.ndarray, sr: int,
+    title: str = "", artist: str = "",
+) -> None:
     """TEST helper: encode a mono wave with the named libav codec"""
     lib = _load_av()
     assert lib is not None
     w = np.ascontiguousarray(wave, np.float32)
-    rc = lib.odn_av_encode(str(path).encode(), codec.encode(), _fptr(w), len(w), sr)
+    rc = lib.odn_av_encode(
+        str(path).encode(), codec.encode(), _fptr(w), len(w), sr,
+        title.encode(), artist.encode(),
+    )
     if rc != 0:
         raise ValueError(f"libav encode ({codec}) failed for {path} (code {rc})")
 

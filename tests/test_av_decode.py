@@ -63,6 +63,25 @@ def test_flac_native_rate_exact(tmp_path):
     np.testing.assert_allclose(out, ref, atol=1e-4)
 
 
+def test_container_tags(tmp_path):
+    """first-party tag reader (libavformat metadata) feeds predict's
+    title/artist resolution when --title/--artist are omitted"""
+    path = tmp_path / "tagged.flac"
+    native.av_encode(
+        path, "flac", _tone(SR, 1.0), SR, title="Song Name", artist="Some Artist"
+    )
+    title, artist = native.av_tags(path)
+    assert title == "Song Name" and artist == "Some Artist"
+
+    from osu_dreamer_tpu.cli.commands import _resolve_metadata
+
+    t, a = _resolve_metadata(path, None, None)
+    assert t == "Song Name" and a == "Some Artist"
+    # explicit flags win over tags
+    t, a = _resolve_metadata(path, "Override", None)
+    assert t == "Override" and a == "Some Artist"
+
+
 def test_undecodable_raises(tmp_path):
     from osu_dreamer_tpu.audio.decode import AudioDecodeError
 

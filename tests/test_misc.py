@@ -89,16 +89,16 @@ class TestCLIWiring:
             res = runner.invoke(main, [cmd, "--help"])
             assert res.exit_code == 0, cmd
 
-    def test_compressed_audio_needs_ffmpeg(self, tmp_path):
+    def test_undecodable_compressed_audio_raises(self, tmp_path):
+        """junk bytes with an .mp3 suffix must raise AudioDecodeError, via
+        whichever compressed-decode path is active (the first-party libav
+        shim, or the ffmpeg-gate message when neither is available)"""
         from osu_dreamer_tpu.audio.decode import AudioDecodeError, load_wave
 
         fake_mp3 = tmp_path / "x.mp3"
-        fake_mp3.write_bytes(b"\xff\xfb" + b"\x00" * 64)
-        import shutil
-
-        if shutil.which("ffmpeg") is None:
-            with pytest.raises(AudioDecodeError, match="ffmpeg"):
-                load_wave(fake_mp3)
+        fake_mp3.write_bytes(b"not audio" * 16)
+        with pytest.raises(AudioDecodeError):
+            load_wave(fake_mp3)
 
 
 class TestTempoInference:
