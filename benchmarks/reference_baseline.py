@@ -119,8 +119,7 @@ def measure_reference() -> dict:
     log(f"reference LDM built: {n_params / 1e6:.1f}M params, "
         f"{torch.get_num_threads()} torch threads")
 
-    n_frames = SONG_SECONDS * SR // HOP_LEN  # 20093-ish; bench uses ceil
-    n_frames = int(np.ceil(SONG_SECONDS * SR / HOP_LEN))
+    n_frames = int(np.ceil(SONG_SECONDS * SR / HOP_LEN))  # matches bench.py
     audio = torch.rand(A_DIM, n_frames)
     labels = torch.tensor([[5.0, 9.0, 8.0, 4.0, 6.0]])
 

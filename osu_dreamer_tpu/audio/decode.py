@@ -57,11 +57,20 @@ def load_wave(audio_file: str | Path) -> np.ndarray:
     if native.av_available():
         try:
             wave = native.av_decode(audio_file, SR)
+            if len(wave) > 0:
+                return wave
+            shim_err: Exception | None = None
         except ValueError as e:
-            raise AudioDecodeError(str(e)) from e
-        if len(wave) == 0:
-            raise AudioDecodeError(f"{audio_file}: no audio samples decoded")
-        return wave
+            shim_err = e
+        # a file the shim's codec set rejects may still decode through an
+        # ffmpeg binary with more codecs compiled in — try before giving up
+        import shutil as _shutil
+
+        if _shutil.which("ffmpeg") is not None:
+            return _decode_via_ffmpeg(audio_file)
+        if shim_err is not None:
+            raise AudioDecodeError(str(shim_err)) from shim_err
+        raise AudioDecodeError(f"{audio_file}: no audio samples decoded")
     return _decode_via_ffmpeg(audio_file)
 
 

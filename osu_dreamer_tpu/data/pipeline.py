@@ -171,6 +171,52 @@ def _flip_xy(chart: np.ndarray, rng: random.Random) -> np.ndarray:
     return chart
 
 
+def _cap_windows(n: int, cap: int) -> int:
+    return n if cap < 0 else min(cap, n)
+
+
+def count_signal_windows(
+    sets: Sequence[Mapset],
+    seq_len: int,
+    max_per_map: int = -1,
+    shard: tuple[int, int] | None = None,
+) -> int:
+    """number of samples ``signal_windows`` will yield for this shard —
+    deterministic and seed-independent (the random offset moves windows but
+    never changes their count), computed from array headers only (mmap, no
+    data reads). Multi-host fits use this to truncate every host's epoch to
+    the same global step count (collectives must stay in lockstep)."""
+    total = 0
+    for ms in _apply_shard(sets, shard):
+        spec_len = np.load(ms[0].parent / "spec.npy", mmap_mode="r").shape[1]
+        for f in ms:
+            with np.load(f) as npz:
+                chart_len = npz["hit"].shape[1]
+            total += _cap_windows(min(spec_len, chart_len) // seq_len, max_per_map)
+    return total
+
+
+def count_latent_windows(
+    sets: Sequence[Mapset],
+    seq_len: int | None,
+    max_per_map: int = -1,
+    shard: tuple[int, int] | None = None,
+) -> int:
+    """``count_signal_windows``'s counterpart for the cached-latent stream;
+    ``seq_len=None`` counts full maps (the style stage's one-per-map)"""
+    total = 0
+    for ms in _apply_shard(sets, shard):
+        if seq_len is None:
+            total += len(ms)
+            continue
+        h_len = np.load(ms[0].parent / "h.npy", mmap_mode="r").shape[0]
+        for f in ms:
+            with np.load(f) as npz:
+                z_len = npz["z"].shape[0]
+            total += _cap_windows(min(h_len, z_len) // seq_len, max_per_map)
+    return total
+
+
 def signal_windows(
     sets: Sequence[Mapset],
     seq_len: int | None,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from osu_dreamer_tpu.data import batched, hold_out_mapsets, latent_windows, prefetch
+from osu_dreamer_tpu.data.pipeline import count_latent_windows
 from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
 from osu_dreamer_tpu.nn.schedule import lr_at
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
@@ -83,6 +84,15 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
                 f"data.seq_len {data_args.seq_len} must divide over "
                 f"parallel.sp={n_sp}"
             )
+        # every shard must span the conv receptive radii (ffn radius + the
+        # 2-frame u-head halo), or halo exchange degenerates
+        min_shard = max(2, model_args.backbone.radius)
+        if data_args.seq_len // n_sp < min_shard:
+            raise ValueError(
+                f"seq_len/sp = {data_args.seq_len // n_sp} frames per shard "
+                f"is below the {min_shard}-frame conv radius; lower "
+                "parallel.sp"
+            )
         sp_model = DiffusionModel(
             _replace(
                 model_args, backbone=_replace(model_args.backbone, seq_axis=par.sp_axis)
@@ -92,7 +102,15 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             sp_model, make_optimizer(train_args.opt), train_args, par.mesh
         )
 
+    # multi-host: truncate every host's epoch to the same step count so the
+    # collectives stay in lockstep (ragged input shards would drift/hang)
+    lockstep = par.lockstep_steps(count_latent_windows(
+        train_sets, data_args.seq_len, data_args.max_per_map, shard=par.input_shard,
+    )) if par.process_count > 1 else None
+
     def train_stream(epoch: int) -> Iterator[LatentBatch]:
+        from itertools import islice
+
         stream = latent_windows(
             train_sets,
             data_args.seq_len,
@@ -101,7 +119,10 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             seed=fit_args.seed + epoch,
             shard=par.input_shard,
         )
-        for b in prefetch(batched(stream, par.local_batch_size)):
+        batches = prefetch(batched(stream, par.local_batch_size))
+        if lockstep is not None:
+            batches = islice(batches, lockstep)
+        for b in batches:
             batch = LatentBatch(*(jnp.asarray(x) for x in b))
             yield par.shard_batch(batch)
 

@@ -29,6 +29,7 @@ from osu_dreamer_tpu.data import (
     prefetch,
     signal_windows,
 )
+from osu_dreamer_tpu.data.pipeline import count_signal_windows
 from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
 from osu_dreamer_tpu.signal import Channel
 from osu_dreamer_tpu.nn.schedule import lr_at
@@ -136,7 +137,13 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
         model_args, train_args, rng, data_args.seq_len
     )
 
+    lockstep = par.lockstep_steps(count_signal_windows(
+        train_sets, data_args.seq_len, data_args.max_per_map, shard=par.input_shard,
+    )) if par.process_count > 1 else None
+
     def train_stream(epoch: int) -> Iterator[Batch]:
+        from itertools import islice
+
         stream = signal_windows(
             train_sets,
             data_args.seq_len,
@@ -145,7 +152,10 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             seed=fit_args.seed + epoch,
             shard=par.input_shard,
         )
-        for b in prefetch(batched(stream, par.local_batch_size)):
+        batches = prefetch(batched(stream, par.local_batch_size))
+        if lockstep is not None:
+            batches = islice(batches, lockstep)
+        for b in batches:
             batch = Batch(*(jnp.asarray(x) for x in b))
             yield par.shard_batch(batch)
 

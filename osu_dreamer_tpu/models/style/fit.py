@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from osu_dreamer_tpu.data import batched, hold_out_mapsets, latent_windows, prefetch
+from osu_dreamer_tpu.data.pipeline import count_latent_windows
 from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
 from osu_dreamer_tpu.nn.schedule import lr_at
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
@@ -63,7 +64,13 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     rng = jax.random.PRNGKey(fit_args.seed)
     model, state, train_step_fn = init_style_training(model_args, train_args, rng)
 
+    lockstep = par.lockstep_steps(count_latent_windows(
+        train_sets, None, shard=par.input_shard,
+    )) if par.process_count > 1 else None
+
     def train_stream(epoch: int):
+        from itertools import islice
+
         # style codes are per-map: stream full maps, keep (s, labels)
         stream = (
             (s.s, s.labels)
@@ -72,7 +79,10 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
                 seed=fit_args.seed + epoch, shard=par.input_shard,
             )
         )
-        for styles, labels in prefetch(_batched_pairs(stream, par.local_batch_size)):
+        batches = prefetch(_batched_pairs(stream, par.local_batch_size))
+        if lockstep is not None:
+            batches = islice(batches, lockstep)
+        for styles, labels in batches:
             batch = (jnp.asarray(styles), jnp.asarray(labels))
             yield par.shard_batch(batch)
 

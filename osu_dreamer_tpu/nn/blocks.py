@@ -110,14 +110,27 @@ class SwiGLU(nn.Module):
         x = x.astype(self.dtype)
         if dw_kernel is not None:
             xp = jnp.pad(x, ((0, 0), (self.radius, self.radius), (0, 0)))
-            x = sum(
-                xp[:, k : k + x.shape[1], :] * dw_kernel[k].astype(x.dtype)
-                for k in range(K)
-            ) + dw_bias.astype(x.dtype)
+            x = self._dwconv_taps(xp, x.shape[1], dw_kernel, dw_bias)
+        return self._gated_tail(
+            x, vg_kernel, vg_bias, out_kernel, out_bias, dropout=True
+        )
+
+    def _dwconv_taps(self, xp, L, dw_kernel, dw_bias):
+        """depthwise conv as a tap sum over an already-padded/halo'd input"""
+        return sum(
+            xp[:, k : k + L, :] * dw_kernel[k].astype(xp.dtype)
+            for k in range(1 + 2 * self.radius)
+        ) + dw_bias.astype(xp.dtype)
+
+    def _gated_tail(self, x, vg_kernel, vg_bias, out_kernel, out_bias, dropout):
+        """post-conv stages: vg projection -> gated SiLU -> norm ->
+        (dropout) -> out projection — shared by the inline and
+        sequence-parallel paths so numerics can never diverge between them"""
         vg = x @ vg_kernel.astype(x.dtype) + vg_bias.astype(x.dtype)
         v, g = jnp.split(vg, 2, axis=-1)
         h = rms_norm(v * nn.silu(g))
-        h = nn.Dropout(self.dropout, deterministic=False)(h)
+        if dropout:
+            h = nn.Dropout(self.dropout, deterministic=False)(h)
         return h @ out_kernel.astype(h.dtype) + out_bias.astype(h.dtype)
 
     def _sharded_forward(
@@ -128,22 +141,15 @@ class SwiGLU(nn.Module):
         ring halo so shard outputs equal the unsharded computation; every
         other stage is per-frame"""
         x = x.astype(self.dtype)
-        L = x.shape[1]
         if dw_kernel is not None:
             from osu_dreamer_tpu.ops.ring_attention import halo_exchange
 
             xp = halo_exchange(x, self.radius, self.seq_axis)
-            K = 1 + 2 * self.radius
-            x = sum(
-                xp[:, k : k + L, :] * dw_kernel[k].astype(x.dtype)
-                for k in range(K)
-            ) + dw_bias.astype(x.dtype)
-        vg = x @ vg_kernel.astype(x.dtype) + vg_bias.astype(x.dtype)
-        v, g = jnp.split(vg, 2, axis=-1)
-        h = rms_norm(v * nn.silu(g))
-        if self.dropout > 0 and train:
-            h = nn.Dropout(self.dropout, deterministic=False)(h)
-        return h @ out_kernel.astype(h.dtype) + out_bias.astype(h.dtype)
+            x = self._dwconv_taps(xp, x.shape[1], dw_kernel, dw_bias)
+        return self._gated_tail(
+            x, vg_kernel, vg_bias, out_kernel, out_bias,
+            dropout=self.dropout > 0 and train,
+        )
 
 
 class FilmStack(nn.Module):

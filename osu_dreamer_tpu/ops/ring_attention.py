@@ -79,6 +79,11 @@ def halo_exchange(x: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarray:
     unsharded 'SAME' zero padding). Call under shard_map."""
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
+    assert x.shape[1] >= radius, (
+        f"halo radius {radius} exceeds the {x.shape[1]}-frame local shard — "
+        "lower parallel.sp (or raise seq_len) so each shard spans at least "
+        "the conv receptive radius"
+    )
     fwd = [(i, (i + 1) % n) for i in range(n)]   # my tail -> next's head halo
     bwd = [((i + 1) % n, i) for i in range(n)]   # my head -> prev's tail halo
     from_prev = jax.lax.ppermute(x[:, -radius:], axis_name, fwd)

@@ -64,6 +64,22 @@ class Parallelism:
     # the diffusion fit builds its shard_map train step from it
     sp_axis: Optional[str] = None
 
+    def lockstep_steps(self, local_windows: int) -> Optional[int]:
+        """multi-host: the per-epoch train-step count EVERY host must run —
+        the minimum across hosts of (local windows // local batch). Hosts
+        with ragged input shards would otherwise drift out of lockstep on
+        the collectives (one host enters epoch N+1 or exits while another
+        still dispatches epoch N) and silently misalign or hang. None when
+        single-process (no truncation needed)."""
+        if self.process_count <= 1:
+            return None
+        import jax.numpy as jnp
+        from jax.experimental import multihost_utils
+
+        local = local_windows // max(self.local_batch_size, 1)
+        counts = multihost_utils.process_allgather(jnp.asarray(local))
+        return int(counts.min())
+
     def shard_batch(self, batch: Any) -> Any:
         if self.mesh is None or self.sp_axis is not None:
             # sp: the shard_map train step's in_specs place the batch
@@ -100,6 +116,12 @@ def build_parallelism(args: ParallelArgs, batch_size: int) -> Parallelism:
 
     if args.tp > 1 and args.sp > 1:
         raise ValueError("parallel.tp and parallel.sp cannot be combined (yet)")
+    if args.sp > 1 and args.coordinator:
+        raise ValueError(
+            "parallel.sp is single-process for now: the sp train step's "
+            "shard_map expects the full global batch on every host, which "
+            "the multi-host input path does not provide (yet)"
+        )
 
     mesh = None
     prepare = None

@@ -106,7 +106,9 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
                     if step % args.log_every == 0:
                         scalars = {k: v for k, v in metrics.items()}
                         if stage.lr_schedule is not None:
-                            scalars["lr"] = stage.lr_schedule(step)
+                            # the update that produced `step` evaluated the
+                            # schedule at the PRE-update count
+                            scalars["lr"] = stage.lr_schedule(step - 1)
                         logger.scalars(scalars, step, prefix="train/")
                         if timer.steps_per_sec > 0:
                             logger.scalars({"steps_per_sec": timer.steps_per_sec}, step, prefix="perf/")
