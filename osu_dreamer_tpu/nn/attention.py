@@ -32,6 +32,24 @@ def _flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
     return fused_attention_fits(L, n_heads, head_dim)
 
 
+def _long_flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
+    """use the long-sequence forward kernel (full-song inference lengths):
+    TPU backend, beyond the fully-fused kernel's VMEM cap but inside the
+    long kernel's, and not disabled via OSU_DREAMER_XLA_ATTN=1"""
+    import os
+
+    if os.environ.get("OSU_DREAMER_XLA_ATTN", "0") == "1":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    from osu_dreamer_tpu.ops.fused_attention import fused_attention_fits
+    from osu_dreamer_tpu.ops.long_attention import long_attention_fits
+
+    return not fused_attention_fits(L, n_heads, head_dim) and long_attention_fits(
+        L, n_heads, head_dim
+    )
+
+
 def rope(x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
     """rotary position embedding over (B, L, H, D) with even D; `offset`
     shifts positions (used by sequence-parallel shards to index globally)"""
@@ -102,6 +120,13 @@ class RoPEAttention(nn.Module):
             from osu_dreamer_tpu.ops.ring_attention import ring_attention
 
             y = ring_attention(q, k, v, self.seq_axis)
+        elif _long_flash_ok(L, H, D):
+            # full-song inference lengths: no (L, L) tensors in HBM
+            # (ops/long_attention.py); returns packed (B, L, H*D)
+            from osu_dreamer_tpu.ops.long_attention import long_flash_attention
+
+            y = long_flash_attention(q, k, v)
+            return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y)
         else:
             y = jax.nn.dot_product_attention(q, k, v)
         return nn.Dense(self.out_dim, dtype=self.dtype, name="out")(y.reshape(B, L, HD))

@@ -197,3 +197,92 @@ class TestFusedNormRopeAttention:
         with pltpu.force_tpu_interpret_mode():
             fused = np.asarray(mod.apply(params, x), np.float32)
         np.testing.assert_allclose(fused, base, atol=2e-2)
+
+
+class TestLongFlashAttention:
+    """ops/long_attention.py (full-song inference lengths, forward kernel)
+    vs jax.nn.dot_product_attention, in Pallas interpret mode on CPU."""
+
+    def _inputs(self, B, L, H, D, dtype=jnp.bfloat16):
+        k1, k2, k3 = jax.random.split(KEY, 3)
+        q = (jax.random.normal(k1, (B, L, H, D)) * 0.7).astype(dtype)
+        k = (jax.random.normal(k2, (B, L, H, D)) * 0.7).astype(dtype)
+        v = (jax.random.normal(k3, (B, L, H, D)) * 0.7).astype(dtype)
+        return q, k, v
+
+    @pytest.mark.parametrize("B,L,H,D", [(2, 512, 2, 64), (1, 256, 4, 32)])
+    def test_matches_reference(self, B, L, H, D):
+        from osu_dreamer_tpu.ops.long_attention import long_flash_attention
+
+        q, k, v = self._inputs(B, L, H, D)
+        ref = np.asarray(
+            jax.nn.dot_product_attention(q, k, v).reshape(B, L, H * D),
+            np.float32,
+        )
+        got = np.asarray(long_flash_attention(q, k, v, True), np.float32)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=2e-2)
+
+    def test_ragged_length_masked(self):
+        """L not a multiple of BLOCK_Q: padded key rows must not leak into
+        the softmax (exercises the in-kernel iota mask)"""
+        from osu_dreamer_tpu.ops.long_attention import long_flash_attention
+
+        q, k, v = self._inputs(1, 300, 2, 64)
+        ref = np.asarray(
+            jax.nn.dot_product_attention(q, k, v).reshape(1, 300, 128),
+            np.float32,
+        )
+        got = np.asarray(long_flash_attention(q, k, v, True), np.float32)
+        np.testing.assert_allclose(got, ref, atol=2e-2)
+
+    def test_gradients(self):
+        """custom-VJP backward (XLA composition fallback) vs autodiff
+        through the reference — correctness under jax.grad is still required
+        even though no training path attends at long L"""
+        from osu_dreamer_tpu.ops.long_attention import long_flash_attention
+
+        q, k, v = self._inputs(1, 288, 2, 64, dtype=jnp.float32)
+
+        def loss_fused(q, k, v):
+            return jnp.sum(long_flash_attention(q, k, v, True) ** 2)
+
+        def loss_ref(q, k, v):
+            y = jax.nn.dot_product_attention(q, k, v)
+            return jnp.sum(y.reshape(1, 288, 128) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=2e-2, atol=2e-2,
+            )
+
+    def test_fits_gate(self):
+        from osu_dreamer_tpu.ops.long_attention import (
+            MAX_LONG_LEN,
+            long_attention_fits,
+        )
+
+        assert long_attention_fits(744, 16, 64)  # 2-min song, denoiser heads
+        assert long_attention_fits(MAX_LONG_LEN, 16, 64)
+        assert not long_attention_fits(MAX_LONG_LEN + 1, 16, 64)
+        assert not long_attention_fits(744, 1, 96)  # HD % 128 != 0
+
+    def test_module_dispatch(self, monkeypatch):
+        """RoPEAttention routed through the long kernel equals its XLA path"""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from osu_dreamer_tpu.nn import attention as attn_mod
+        from osu_dreamer_tpu.nn.attention import RoPEAttention
+
+        x = jax.random.normal(KEY, (1, 300, 24), jnp.float32)
+        mod = RoPEAttention(n_heads=2, head_dim=64, out_dim=24, dtype=jnp.float32)
+        params = mod.init(KEY, x)
+        base = np.asarray(mod.apply(params, x), np.float32)
+
+        monkeypatch.setattr(attn_mod, "_long_flash_ok", lambda *a: True)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(mod.apply(params, x), np.float32)
+        np.testing.assert_allclose(got, base, atol=2e-2)
