@@ -1,6 +1,7 @@
-"""The seven-command CLI, surface-identical to the reference
-(``python -m osu_dreamer_tpu <command>``): generate-data, fit-latent,
-encode-latents, fit-denoiser, fit-style, export-inference, predict."""
+"""The CLI (``python -m osu_dreamer_tpu <command>``): the reference's seven
+commands surface-identical — generate-data, fit-latent, encode-latents,
+fit-denoiser, fit-style, export-inference, predict — plus ``serve``, a
+resident batching HTTP generation service (beyond the reference)."""
 
 from __future__ import annotations
 
@@ -30,6 +31,7 @@ from .commands import (
     fit_style,
     generate_data,
     predict,
+    serve,
 )
 
 
@@ -45,3 +47,4 @@ main.add_command(fit_denoiser)
 main.add_command(fit_style)
 main.add_command(export_inference_cmd)
 main.add_command(predict)
+main.add_command(serve)

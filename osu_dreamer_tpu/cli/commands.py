@@ -439,6 +439,42 @@ def _write_mapset(audio_file, title, artist, entries) -> None:
     click.echo(f"  wrote {mapset}")
 
 
+# ---------------------------------------------------------------- serve -----
+
+
+@click.command("serve")
+@click.option("--model-path", type=file_opt, required=True, help="trained inference artifact (export-inference output)")
+@click.option("--host", default="127.0.0.1", show_default=True, help="bind address")
+@click.option("--port", type=int, default=8787, show_default=True, help="bind port")
+@click.option("--max-batch", type=click.IntRange(min=1), default=4, show_default=True, help="max concurrent songs batched into one device program")
+@click.option("--batch-window-ms", type=float, default=25.0, show_default=True, help="how long the dispatcher waits to widen a batch")
+@click.option("--infer-tempo", is_flag=True, help="infer real timing points from the predicted onset envelope")
+def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_ms: float, infer_tempo: bool):
+    """run a resident map-generation HTTP service (POST /generate).
+
+    Beyond the reference's one-shot predict CLI: loads the artifact once,
+    owns the chip, and batches concurrent requests through one compiled
+    program (serve/service.py for the batching model, serve/http.py for the
+    endpoints)."""
+    from osu_dreamer_tpu.serve import GeneratorService, MapServer
+
+    service = GeneratorService(
+        model_path,
+        max_batch=max_batch,
+        batch_window_ms=batch_window_ms,
+        infer_tempo=infer_tempo,
+    )
+    server = MapServer(service, host=host, port=port)
+    bound_host, bound_port = server.address
+    click.echo(f"serving on http://{bound_host}:{bound_port} (POST /generate, GET /healthz /stats)")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        click.echo("shutting down")
+    finally:
+        server.close()
+
+
 def _resolve_metadata(audio_file: Path, title: Optional[str], artist: Optional[str]):
     """fill missing title/artist from the audio's container tags: the
     first-party libav reader (ID3/Vorbis/MP4 via native/audiodecode_av.cpp)

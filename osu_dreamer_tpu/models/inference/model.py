@@ -53,14 +53,23 @@ class LDM(nn.Module):
         the audio encoding is computed once and #B-broadcast over the D
         difficulty rows. S > 1 batches SONGS through one device program
         (bulk generation: the models are small, so per-song dispatch leaves
-        the chip idle); each (song, diff) pair gets its own style sample."""
+        the chip idle); each (song, diff) pair gets its own style sample.
+
+        ``labels`` may instead be (S, D, NUM_LABELS): per-song difficulty
+        rows, used by the serving path (serve/service.py) to batch requests
+        with DIFFERENT conditioning through one device program. (D, ...) is
+        the shared-conditioning broadcast the predict CLI uses."""
         rng_style, rng_z = jax.random.split(rng)
 
         S = spec.shape[0]
         skips, h = self.latent.encode_audio(spec)
-        if S > 1:
-            D = labels.shape[0]
+        per_song = labels.ndim == 3
+        D = labels.shape[1] if per_song else labels.shape[0]
+        if per_song:
+            labels = labels.reshape(S * D, labels.shape[-1])
+        elif S > 1:
             labels = jnp.tile(labels, (S, 1))                 # (S*D, 5)
+        if S > 1:
             h = jnp.repeat(h, D, axis=0)                      # (S*D, l, A)
             skips = [jnp.repeat(sk, D, axis=0) for sk in skips]
         s = self.style.sample(labels, rng_style, style_steps, style_guidance)

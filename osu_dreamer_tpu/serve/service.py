@@ -1,0 +1,360 @@
+"""Map-generation service: load-once artifact, cross-request batching.
+
+The deployment surface of the framework. The reference stops at a one-shot
+CLI (reference scripts/predict.py); a production deployment needs a resident
+process that owns the chip, amortizes compilation, and keeps the device busy
+under concurrent load. This service:
+
+- loads the inference artifact once and pins params on device;
+- runs ONE dispatcher thread that owns all device work (the TPU runtime is
+  happiest with a single submitting thread, and it serializes access to the
+  chip the way bulk predict's loop does);
+- batches concurrent requests that share a compiled-program signature
+  (length bucket, #difficulties, steps, guidance) through the same fused
+  featurizer+sampler program the predict CLI uses — per-song difficulty
+  labels ride the LDM's (S, D, NUM_LABELS) path so batched requests keep
+  their own conditioning;
+- pads each batch to the next power of two (max ``max_batch``) so at most
+  log2(max_batch)+1 program sizes exist per signature — a fresh XLA compile
+  costs seconds-to-minutes, a padded row costs microseconds;
+- keeps the CPU tail (.osu decode, .osz zip) on the REQUEST thread, so the
+  dispatcher is free to sample the next batch while results serialize.
+
+Requests with an explicit seed are never co-batched: the sampler draws one
+noise tensor per batch, so reproducibility requires a deterministic batch
+composition — a seeded request runs solo (padded), unseeded requests share
+server-generated keys.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+import threading
+import time
+import zipfile
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+DEFAULT_DIFF = (5.0, 9.0, 8.0, 4.0, 6.0)
+
+
+@dataclass
+class _Pending:
+    """one request's device-side work unit"""
+
+    buf: np.ndarray          # int16 bucket-padded wave
+    real_frames: int
+    n_frames: int
+    out_frames: int
+    L: int                   # true frame count (crop length)
+    labels: np.ndarray       # (D, 5) float32
+    steps: int
+    guidance: float
+    seed: Optional[int]
+    done: threading.Event = field(default_factory=threading.Event)
+    chart: Optional[np.ndarray] = None        # (D, Lp, X) on completion
+    pred_labels: Optional[np.ndarray] = None  # (D, 5)
+    error: Optional[BaseException] = None
+    enqueued_at: float = field(default_factory=time.monotonic)
+
+    @property
+    def signature(self) -> tuple:
+        return (
+            self.n_frames, self.out_frames, len(self.labels),
+            self.steps, self.guidance,
+        )
+
+
+class GeneratorService:
+    """resident generation service over one inference artifact.
+
+    ``generate`` is thread-safe and blocking: call it from as many request
+    threads as you like; the dispatcher batches compatible requests.
+    """
+
+    def __init__(
+        self,
+        model_path: str | Path,
+        *,
+        max_batch: int = 4,
+        batch_window_ms: float = 25.0,
+        infer_tempo: bool = False,
+    ):
+        import jax
+
+        from osu_dreamer_tpu.models.inference import load_inference
+
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._jax = jax
+        self.model, params = load_inference(model_path)
+        self.params = jax.device_put(params)
+        self.chunk = self.model.args.latent.chunk_size
+        self.max_batch = max_batch
+        self.batch_window = batch_window_ms / 1000.0
+        self.infer_tempo = infer_tempo
+
+        self._sample = self._build_sampler()
+
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._pending: list[_Pending] = []
+        self._closed = False
+        self._key_counter = int.from_bytes(os.urandom(4), "big")
+
+        # observability
+        self.stats_lock = threading.Lock()
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "batched_rows": 0,        # real (non-padding) rows dispatched
+            "padded_rows": 0,
+            "errors": 0,
+            "compiled_signatures": 0,
+            "started_at": time.time(),
+        }
+        self._seen_programs: set[tuple] = set()
+
+        self._dispatcher = threading.Thread(
+            target=self._run, name="osu-dreamer-dispatcher", daemon=True
+        )
+        self._dispatcher.start()
+
+    # ------------------------------------------------------------- device --
+
+    def _build_sampler(self):
+        from functools import partial
+
+        import jax
+
+        from osu_dreamer_tpu.audio import spec_for_model_batch
+
+        model = self.model
+
+        @partial(
+            jax.jit,
+            static_argnames=("n_frames", "out_frames", "steps", "guidance"),
+        )
+        def sample(p, waves_i16, real_frames, labels, key, n_frames,
+                   out_frames, steps, guidance):
+            spec = spec_for_model_batch(
+                waves_i16, real_frames, n_frames, out_frames
+            )  # (S, out_frames, A)
+            return model.apply(
+                p, spec, labels, key, steps, style_guidance=guidance
+            )
+
+        return sample
+
+    def _next_key(self, seed: Optional[int]):
+        import jax
+
+        if seed is not None:
+            return jax.random.PRNGKey(seed)
+        with self._lock:
+            self._key_counter += 1
+            return jax.random.PRNGKey(self._key_counter % (2**31))
+
+    # --------------------------------------------------------- dispatcher --
+
+    def _take_batch(self) -> Optional[list[_Pending]]:
+        """block for the first request, then widen within the batch window"""
+        with self._cond:
+            while not self._pending and not self._closed:
+                self._cond.wait(timeout=0.1)
+            if self._closed and not self._pending:
+                return None
+            first = self._pending.pop(0)
+
+        batch = [first]
+        if first.seed is not None or self.max_batch == 1:
+            return batch  # seeded requests run solo (reproducibility)
+
+        deadline = time.monotonic() + self.batch_window
+        sig = first.signature
+        while len(batch) < self.max_batch:
+            with self._cond:
+                i = 0
+                while i < len(self._pending) and len(batch) < self.max_batch:
+                    r = self._pending[i]
+                    if r.seed is None and r.signature == sig:
+                        batch.append(self._pending.pop(i))
+                    else:
+                        i += 1
+            remaining = deadline - time.monotonic()
+            if len(batch) >= self.max_batch or remaining <= 0:
+                break
+            with self._cond:
+                self._cond.wait(timeout=min(remaining, 0.005))
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            try:
+                self._dispatch(batch)
+            except BaseException as e:  # noqa: BLE001 — failures go to waiters
+                for r in batch:
+                    r.error = e
+                    r.done.set()
+                with self.stats_lock:
+                    self.stats["errors"] += len(batch)
+
+    def _dispatch(self, batch: list[_Pending]) -> None:
+        import jax.numpy as jnp
+
+        # pad the song axis to the next power of two (bounded program count)
+        S = 1
+        while S < len(batch):
+            S *= 2
+        S = min(S, self.max_batch)
+        rows = list(batch) + [batch[-1]] * (S - len(batch))
+
+        waves = jnp.asarray(np.stack([r.buf for r in rows]))
+        rfs = jnp.asarray(np.asarray([r.real_frames for r in rows], np.int32))
+        labels = jnp.asarray(
+            np.stack([r.labels for r in rows]), jnp.float32
+        )  # (S, D, 5) — per-song conditioning
+        first = batch[0]
+        key = self._next_key(first.seed)
+
+        program = (S,) + first.signature
+        fresh = program not in self._seen_programs
+        self._seen_programs.add(program)
+
+        chart, pred_labels = self._sample(
+            self.params, waves, rfs, labels, key,
+            first.n_frames, first.out_frames, first.steps, first.guidance,
+        )
+        chart = np.asarray(chart, np.float32)
+        pred_labels = np.asarray(pred_labels, np.float32)
+
+        D = len(first.labels)
+        for i, r in enumerate(batch):
+            r.chart = chart[i * D : (i + 1) * D]
+            r.pred_labels = pred_labels[i * D : (i + 1) * D]
+            r.done.set()
+
+        with self.stats_lock:
+            self.stats["batches"] += 1
+            self.stats["batched_rows"] += len(batch)
+            self.stats["padded_rows"] += S - len(batch)
+            if fresh:
+                self.stats["compiled_signatures"] += 1
+
+    # ------------------------------------------------------------ request --
+
+    def generate(
+        self,
+        audio_bytes: bytes,
+        *,
+        audio_name: str = "audio.wav",
+        diffs: Optional[Sequence[Sequence[float]]] = None,
+        sample_steps: int = 8,
+        style_guidance: float = 1.0,
+        seed: Optional[int] = None,
+        title: Optional[str] = None,
+        artist: Optional[str] = None,
+        timeout: Optional[float] = 600.0,
+    ) -> tuple[str, bytes]:
+        """generate one mapset -> (suggested .osz filename, zip bytes).
+
+        Blocking; safe to call from many threads. ``diffs`` is a list of
+        (sr, ar, od, cs, hp) rows — one .osu per row.
+        """
+        from osu_dreamer_tpu.audio import HOP_LEN, load_wave, prep_wave_for_model
+        from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
+
+        if self._closed:
+            raise RuntimeError("service is closed")
+        diff_rows = np.asarray(
+            diffs if diffs is not None and len(diffs) else [DEFAULT_DIFF],
+            np.float32,
+        )
+        if diff_rows.ndim != 2 or diff_rows.shape[1] != 5:
+            raise ValueError("each diff row must be (sr, ar, od, cs, hp)")
+
+        # host prep on the request thread (decode may need a real file path
+        # for the container demuxer)
+        suffix = Path(audio_name).suffix or ".wav"
+        with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tf:
+            tf.write(audio_bytes)
+            tmp = Path(tf.name)
+        try:
+            wave = load_wave(tmp)
+        finally:
+            tmp.unlink(missing_ok=True)
+        buf, real_frames, n_frames, out_frames = prep_wave_for_model(
+            wave, self.chunk
+        )
+        L = max(1, -(-len(wave) // HOP_LEN))
+
+        req = _Pending(
+            buf=buf, real_frames=real_frames, n_frames=n_frames,
+            out_frames=out_frames, L=L, labels=diff_rows,
+            steps=int(sample_steps), guidance=float(style_guidance), seed=seed,
+        )
+        with self._cond:
+            self._pending.append(req)
+            self._cond.notify_all()
+        with self.stats_lock:
+            self.stats["requests"] += 1
+
+        if not req.done.wait(timeout=timeout):
+            with self._cond:
+                if req in self._pending:  # never dispatched: withdraw
+                    self._pending.remove(req)
+            raise TimeoutError("generation timed out")
+        if req.error is not None:
+            raise RuntimeError("generation failed") from req.error
+
+        # CPU tail on the request thread
+        title = title or Path(audio_name).stem
+        artist = artist or "Unknown Artist"
+        signals = req.chart[:, : req.L].transpose(0, 2, 1)  # (D, X, L)
+        entries = []
+        for i, (row, sig) in enumerate(zip(req.pred_labels, signals)):
+            name = f"{artist} - {title} (osu!dreamer-tpu) [version {i}].osu"
+            entries.append((name, decode_beatmap(
+                MapMetadata(audio_name, title, artist, f"version {i}"),
+                row, sig, infer_tempo=self.infer_tempo,
+            )))
+
+        out = io.BytesIO()
+        with zipfile.ZipFile(out, "w") as z:
+            z.writestr(audio_name, audio_bytes)
+            for name, text in entries:
+                z.writestr(name, text)
+        return f"{artist} - {title}.osz", out.getvalue()
+
+    # ------------------------------------------------------------- admin ---
+
+    def health(self) -> dict[str, Any]:
+        return {
+            "ok": not self._closed,
+            "backend": self._jax.default_backend(),
+            "devices": len(self._jax.local_devices()),
+            "chunk": self.chunk,
+            "max_batch": self.max_batch,
+            "uptime_s": round(time.time() - self.stats["started_at"], 1),
+        }
+
+    def snapshot_stats(self) -> dict[str, Any]:
+        with self.stats_lock:
+            out = dict(self.stats)
+        with self._cond:
+            out["queued"] = len(self._pending)
+        return out
+
+    def close(self, timeout: float = 5.0) -> None:
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._dispatcher.join(timeout=timeout)

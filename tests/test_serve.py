@@ -1,0 +1,229 @@
+"""Serving subsystem: resident GeneratorService + HTTP front-end.
+
+Covers (with a tiny randomly-initialized artifact — structure, not quality):
+- single blocking generate -> structurally valid .osz bytes;
+- cross-request batching: concurrent same-signature requests share one
+  device dispatch (stats assert batches < requests);
+- seeded requests run solo and are reproducible;
+- per-song conditioning survives batching (different diff counts never
+  co-batch; same-count different-value diffs do, via the LDM's (S, D, 5)
+  labels path);
+- the HTTP surface end-to-end over a real socket (healthz / stats /
+  generate, error paths).
+"""
+
+import concurrent.futures as cf
+import io
+import threading
+import zipfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from osu_dreamer_tpu.audio import SR
+from osu_dreamer_tpu.data.synth import write_wav
+
+TINY = None  # built once in the artifact fixture
+
+
+def _tiny_ldm_args():
+    from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+    from osu_dreamer_tpu.models.diffusion.model import BackboneArgs
+    from osu_dreamer_tpu.models.inference.model import LDMArgs
+    from osu_dreamer_tpu.models.latent import LatentModelArgs
+    from osu_dreamer_tpu.models.latent.model import StackArgs
+    from osu_dreamer_tpu.models.style import StyleModelArgs
+
+    return LDMArgs(
+        latent=LatentModelArgs(
+            emb_dim=4, style_dim=8, n_downs=2, stride=3, h_dim=16,
+            stack=StackArgs(n_layers=1, expand=2, radius=1),
+            style_head_dim=8, style_heads=2,
+        ),
+        diffusion=DiffusionModelArgs(
+            emb_dim=4, a_dim=16, style_dim=8, global_cond_dim=16,
+            backbone_dim=16, u_head_dim=8,
+            backbone=BackboneArgs(depth=1, expand=2, head_dim=8, n_heads=2, radius=1),
+        ),
+        style=StyleModelArgs(style_dim=8, label_features=16, h_dim=16, depth=1, expand=2),
+    )
+
+
+@pytest.fixture(scope="module")
+def artifact_path(tmp_path_factory) -> Path:
+    """a tiny random-weights inference artifact (no training)"""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.audio import A_DIM
+    from osu_dreamer_tpu.models.inference.artifact import build_artifact_bytes
+    from osu_dreamer_tpu.models.inference.model import LDM
+
+    args = _tiny_ldm_args()
+    model = LDM(args)
+    chunk = args.latent.chunk_size
+    spec = jnp.zeros((1, 4 * chunk, A_DIM))
+    labels = jnp.zeros((1, 5))
+    params = model.init(jax.random.PRNGKey(0), spec, labels, jax.random.PRNGKey(1), 2)
+
+    path = tmp_path_factory.mktemp("artifact") / "inference.odt"
+    path.write_bytes(build_artifact_bytes(args, params))
+    return path
+
+
+def _wav_bytes(tmp_path: Path, seconds: float, freq: float = 220.0) -> bytes:
+    t = np.arange(int(SR * seconds)) / SR
+    p = tmp_path / f"w{freq:.0f}_{seconds:.2f}.wav"
+    write_wav(p, np.sin(2 * np.pi * freq * t).astype(np.float32) * 0.5)
+    return p.read_bytes()
+
+
+def _check_osz(name: str, data: bytes, n_osu: int, audio_name: str = "audio.wav"):
+    assert name.endswith(".osz")
+    with zipfile.ZipFile(io.BytesIO(data)) as z:
+        names = z.namelist()
+        assert audio_name in names
+        osu = [n for n in names if n.endswith(".osu")]
+        assert len(osu) == n_osu
+        text = z.read(osu[0]).decode()
+    for section in ("[General]", "[Metadata]", "[TimingPoints]", "[HitObjects]"):
+        assert section in text
+    return text
+
+
+@pytest.fixture(scope="module")
+def service(artifact_path):
+    from osu_dreamer_tpu.serve import GeneratorService
+
+    svc = GeneratorService(artifact_path, max_batch=4, batch_window_ms=150.0)
+    yield svc
+    svc.close()
+
+
+@pytest.mark.slow
+class TestService:
+    def test_single_generate(self, service, tmp_path):
+        audio = _wav_bytes(tmp_path, 2.0)
+        name, osz = service.generate(
+            audio, sample_steps=2, title="T", artist="A", seed=7
+        )
+        text = _check_osz(name, osz, 1)
+        assert "Title: T" in text
+        assert service.snapshot_stats()["requests"] >= 1
+
+    def test_seeded_reproducible(self, service, tmp_path):
+        audio = _wav_bytes(tmp_path, 2.0)
+        kw = dict(sample_steps=2, title="T", artist="A", seed=123)
+        _, a = service.generate(audio, **kw)
+        _, b = service.generate(audio, **kw)
+        # identical byte-for-byte .osu entries (zip metadata may differ)
+        za = zipfile.ZipFile(io.BytesIO(a))
+        zb = zipfile.ZipFile(io.BytesIO(b))
+        for n in za.namelist():
+            assert za.read(n) == zb.read(n)
+
+    def test_concurrent_requests_batch(self, service, tmp_path):
+        # same length bucket + same #diffs + steps -> one device dispatch.
+        # Different diff VALUES per request must still co-batch (per-song
+        # labels path); the batch window is long enough to catch all 3.
+        audio = _wav_bytes(tmp_path, 2.0)
+        before = service.snapshot_stats()
+        diffs = [[(2.0, 5.0, 5.0, 3.0, 4.0)], [(5.0, 9.0, 8.0, 4.0, 6.0)], [(7.0, 10.0, 9.0, 4.5, 6.0)]]
+
+        start = threading.Barrier(3)
+
+        def go(d):
+            start.wait()
+            return service.generate(audio, diffs=d, sample_steps=2)
+
+        with cf.ThreadPoolExecutor(3) as ex:
+            results = list(ex.map(go, diffs))
+        for name, osz in results:
+            _check_osz(name, osz, 1)
+        after = service.snapshot_stats()
+        n_req = after["requests"] - before["requests"]
+        n_batch = after["batches"] - before["batches"]
+        assert n_req == 3
+        assert n_batch < n_req, "concurrent same-signature requests did not co-batch"
+
+    def test_multi_diff(self, service, tmp_path):
+        audio = _wav_bytes(tmp_path, 1.5)
+        diffs = [(3.0, 7.0, 6.0, 3.0, 5.0), (6.0, 9.5, 8.5, 4.0, 6.0)]
+        name, osz = service.generate(audio, diffs=diffs, sample_steps=2, seed=1)
+        _check_osz(name, osz, 2)
+
+    def test_bad_diff_rejected(self, service):
+        with pytest.raises(ValueError):
+            service.generate(b"\0" * 64, diffs=[(1.0, 2.0)])
+
+
+@pytest.mark.slow
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, artifact_path):
+        # own service: MapServer.close() closes its service, and the
+        # module-scoped one must survive for any later module in the session
+        from osu_dreamer_tpu.serve import GeneratorService, MapServer
+
+        svc = GeneratorService(artifact_path, max_batch=2, batch_window_ms=10.0)
+        with MapServer(svc, host="127.0.0.1", port=0) as s:
+            yield s
+
+    def _url(self, server, path):
+        host, port = server.address
+        return f"http://{host}:{port}{path}"
+
+    def test_healthz_and_stats(self, server):
+        import json
+        import urllib.request
+
+        with urllib.request.urlopen(self._url(server, "/healthz"), timeout=10) as r:
+            h = json.load(r)
+        assert h["ok"] and h["devices"] >= 1
+        with urllib.request.urlopen(self._url(server, "/stats"), timeout=10) as r:
+            s = json.load(r)
+        assert "requests" in s and "queued" in s
+
+    def test_generate_roundtrip(self, server, tmp_path):
+        import urllib.request
+
+        audio = _wav_bytes(tmp_path, 1.5, freq=330.0)
+        url = self._url(
+            server,
+            "/generate?sample_steps=2&seed=5&title=Net&artist=Srv"
+            "&diff=4,8,7,4,5&name=song.wav",
+        )
+        req = urllib.request.Request(url, data=audio, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.status == 200
+            disp = r.headers["Content-Disposition"]
+            osz = r.read()
+        assert 'filename="Srv - Net.osz"' in disp
+        text = _check_osz("x.osz", osz, 1, audio_name="song.wav")
+        assert "Title: Net" in text
+
+    def test_bad_requests(self, server):
+        import json
+        import urllib.error
+        import urllib.request
+
+        # unknown path
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(self._url(server, "/nope"), timeout=10)
+        assert e.value.code == 404
+
+        # malformed diff
+        req = urllib.request.Request(
+            self._url(server, "/generate?diff=1,2"), data=b"x" * 64, method="POST"
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+        assert "diff" in json.load(e.value)["error"]
+
+        # empty body
+        req = urllib.request.Request(self._url(server, "/generate"), data=b"", method="POST")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
