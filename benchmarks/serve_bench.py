@@ -1,0 +1,207 @@
+"""Serving load benchmark: GeneratorService throughput under concurrent
+clients (the `serve` subsystem's production question — how many maps/min
+does a resident chip sustain when requests arrive independently, and what
+latency do clients see?).
+
+Drives the service layer directly (serve/service.py — the HTTP front-end
+adds only stdlib socket overhead) with K client threads, each submitting a
+W-second song back-to-back for T seconds. Reports one JSON line:
+
+  requests/min sustained, request latency p50/p90/p99, device batching
+  efficiency (mean rows per dispatch, padding fraction), and the share of
+  wall time the dispatcher spent on device work.
+
+Weights are random (throughput is architecture-bound, same stance as
+bench.py); the host decode tail still runs — with noise charts the slider
+fitter sees few objects, so E2E numbers here are a lower bound on host cost
+for real dense charts (quality_run.py measures the trained-path tail).
+
+Usage:
+    python benchmarks/serve_bench.py [--clients 8] [--seconds 30]
+        [--song-seconds 120] [--sample-steps 32] [--max-batch 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def make_artifact(path: Path) -> None:
+    """full-size LDM, random weights -> inference artifact at ``path``"""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.audio import A_DIM
+    from osu_dreamer_tpu.models.inference import LDM, LDMArgs
+    from osu_dreamer_tpu.models.inference.artifact import build_artifact_bytes
+
+    args = LDMArgs()
+    model = LDM(args)
+    chunk = args.latent.chunk_size
+    spec = jnp.zeros((1, 4 * chunk, A_DIM))
+    labels = jnp.zeros((1, 5))
+    t0 = time.time()
+    params = jax.jit(lambda k: model.init(k, spec, labels, k, 1, 1))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+    log(f"init full-size params: {time.time() - t0:.1f}s")
+    path.write_bytes(build_artifact_bytes(args, jax.device_get(params)))
+
+
+def make_wav(path: Path, seconds: float) -> bytes:
+    from osu_dreamer_tpu.audio import SR
+    from osu_dreamer_tpu.data.synth import write_wav
+
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * SR)) / SR
+    wave = (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 440 * t)
+        + 0.05 * rng.normal(size=t.shape)
+    ).astype(np.float32)
+    write_wav(path, wave)
+    return path.read_bytes()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clients", type=int, default=8)
+    ap.add_argument("--seconds", type=float, default=30.0, help="measurement window")
+    ap.add_argument("--song-seconds", type=float, default=120.0)
+    ap.add_argument("--sample-steps", type=int, default=32)
+    ap.add_argument("--max-batch", type=int, default=4)
+    ap.add_argument("--batch-window-ms", type=float, default=25.0)
+    ap.add_argument("--artifact", type=Path, default=None,
+                    help="reuse an existing artifact instead of random weights")
+    args = ap.parse_args()
+
+    from osu_dreamer_tpu.serve import GeneratorService
+
+    tmp = Path(tempfile.mkdtemp(prefix="serve_bench_"))
+    # random-weights artifact is deterministic (PRNGKey(0)) — cache it so
+    # reruns skip the init + the 260 MB device_get over the host link
+    artifact = args.artifact or Path(tempfile.gettempdir()) / "serve_bench_artifact.odt"
+    if not artifact.exists():
+        make_artifact(artifact)
+    audio = make_wav(tmp / "song.wav", args.song_seconds)
+
+    svc = GeneratorService(
+        artifact, max_batch=args.max_batch, batch_window_ms=args.batch_window_ms
+    )
+
+    # warm the compile for every program the measurement can hit: the service
+    # pads batches to powers of two, so send exactly S simultaneous requests
+    # for each S <= max_batch — the measurement window then times
+    # steady-state serving, not XLA
+    measured_window = svc.batch_window
+    svc.batch_window = 1.0  # generous gather so each warmup forms one S-batch
+    S = 1
+    while S <= args.max_batch:
+        t0 = time.time()
+        ths = [
+            threading.Thread(
+                target=svc.generate, args=(audio,),
+                kwargs=dict(sample_steps=args.sample_steps, title="w", artist="w"),
+            )
+            for _ in range(S)
+        ]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        log(f"warmup S={S}: {time.time() - t0:.1f}s "
+            f"(programs compiled: {svc.snapshot_stats()['compiled_signatures']})")
+        S *= 2
+    svc.batch_window = measured_window
+
+    latencies: list[float] = []
+    lat_lock = threading.Lock()
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def client(i: int) -> None:
+        while not stop.is_set():
+            t0 = time.time()
+            try:
+                svc.generate(
+                    audio, sample_steps=args.sample_steps,
+                    title=f"t{i}", artist="bench",
+                )
+            except Exception as e:  # noqa: BLE001 — collected for the report
+                with lat_lock:
+                    errors.append(repr(e))
+                return
+            with lat_lock:
+                latencies.append(time.time() - t0)
+
+    before = svc.snapshot_stats()
+    wall0 = time.time()
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(args.clients)]
+    for t in threads:
+        t.start()
+    time.sleep(args.seconds)
+    stop.set()
+    for t in threads:
+        t.join(timeout=600)
+    wall = time.time() - wall0
+    after = svc.snapshot_stats()
+    svc.close()
+
+    n = len(latencies)
+    if n == 0:
+        print(json.dumps({"error": "no requests completed", "errors": errors[:3]}))
+        return
+    lat = np.asarray(sorted(latencies))
+    d_req = after["requests"] - before["requests"]
+    d_batches = max(1, after["batches"] - before["batches"])
+    d_rows = after["batched_rows"] - before["batched_rows"]
+    d_pad = after["padded_rows"] - before["padded_rows"]
+
+    result = {
+        "metric": "serve: maps/min sustained",
+        "value": round(n / wall * 60.0, 1),
+        "unit": "maps/min",
+        "clients": args.clients,
+        "song_seconds": args.song_seconds,
+        "sample_steps": args.sample_steps,
+        "max_batch": args.max_batch,
+        "completed": n,
+        "window_s": round(wall, 1),
+        "latency_s": {
+            "p50": round(float(lat[n // 2]), 3),
+            "p90": round(float(lat[min(n - 1, int(n * 0.9))]), 3),
+            "p99": round(float(lat[min(n - 1, int(n * 0.99))]), 3),
+            "mean": round(float(lat.mean()), 3),
+        },
+        "batching": {
+            "dispatches": d_batches,
+            "mean_rows_per_dispatch": round(d_rows / d_batches, 2),
+            "padding_fraction": round(d_pad / max(1, d_rows + d_pad), 3),
+            "requests_enqueued": d_req,
+        },
+        "errors": errors[:3],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,8 +17,11 @@ under concurrent load. This service:
 - pads each batch to the next power of two (max ``max_batch``) so at most
   log2(max_batch)+1 program sizes exist per signature — a fresh XLA compile
   costs seconds-to-minutes, a padded row costs microseconds;
-- keeps the CPU tail (.osu decode, .osz zip) on the REQUEST thread, so the
-  dispatcher is free to sample the next batch while results serialize.
+- submits device programs WITHOUT synchronizing (jax dispatch is async) and
+  hands each waiter a device-array slice; the device->host fetch AND the
+  CPU tail (.osu decode, .osz zip) run on the REQUEST thread, so batch N+1's
+  compute overlaps batch N's result transfer — on a tunneled chip the fetch
+  is comparable to the compute and serializing them halves throughput.
 
 Requests with an explicit seed are never co-batched: the sampler draws one
 noise tensor per batch, so reproducibility requires a deterministic batch
@@ -57,8 +60,11 @@ class _Pending:
     guidance: float
     seed: Optional[int]
     done: threading.Event = field(default_factory=threading.Event)
-    chart: Optional[np.ndarray] = None        # (D, Lp, X) on completion
-    pred_labels: Optional[np.ndarray] = None  # (D, 5)
+    # device-array slices of the batch outputs, set at dispatch; the REQUEST
+    # thread materializes them (device->host) so the dispatcher never blocks
+    # on the relay link and batch N+1's program overlaps batch N's fetch
+    chart: Optional[Any] = None               # (D, Lp, X) on completion
+    pred_labels: Optional[Any] = None         # (D, 5)
     error: Optional[BaseException] = None
     enqueued_at: float = field(default_factory=time.monotonic)
 
@@ -233,9 +239,11 @@ class GeneratorService:
             self.params, waves, rfs, labels, key,
             first.n_frames, first.out_frames, first.steps, first.guidance,
         )
-        chart = np.asarray(chart, np.float32)
-        pred_labels = np.asarray(pred_labels, np.float32)
-
+        # hand each waiter its device-array slice WITHOUT synchronizing: jax
+        # dispatch is async, so the dispatcher is free to submit the next
+        # batch while this one computes and while request threads pull their
+        # results over the host link (the fetch is the expensive part on a
+        # tunneled chip — serializing it behind compute halved throughput)
         D = len(first.labels)
         for i, r in enumerate(batch):
             r.chart = chart[i * D : (i + 1) * D]
@@ -315,12 +323,20 @@ class GeneratorService:
         if req.error is not None:
             raise RuntimeError("generation failed") from req.error
 
-        # CPU tail on the request thread
+        # device->host fetch + CPU tail on the request thread (deferred
+        # device errors surface here, not in the dispatcher)
+        try:
+            chart = np.asarray(req.chart, np.float32)
+            pred_labels = np.asarray(req.pred_labels, np.float32)
+        except Exception as e:
+            with self.stats_lock:
+                self.stats["errors"] += 1
+            raise RuntimeError("generation failed on device") from e
         title = title or Path(audio_name).stem
         artist = artist or "Unknown Artist"
-        signals = req.chart[:, : req.L].transpose(0, 2, 1)  # (D, X, L)
+        signals = chart[:, : req.L].transpose(0, 2, 1)  # (D, X, L)
         entries = []
-        for i, (row, sig) in enumerate(zip(req.pred_labels, signals)):
+        for i, (row, sig) in enumerate(zip(pred_labels, signals)):
             name = f"{artist} - {title} (osu!dreamer-tpu) [version {i}].osu"
             entries.append((name, decode_beatmap(
                 MapMetadata(audio_name, title, artist, f"version {i}"),
