@@ -449,7 +449,8 @@ def _write_mapset(audio_file, title, artist, entries) -> None:
 @click.option("--max-batch", type=click.IntRange(min=1), default=4, show_default=True, help="max concurrent songs batched into one device program")
 @click.option("--batch-window-ms", type=float, default=25.0, show_default=True, help="how long the dispatcher waits to widen a batch")
 @click.option("--infer-tempo", is_flag=True, help="infer real timing points from the predicted onset envelope")
-def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_ms: float, infer_tempo: bool):
+@click.option("--devices", type=click.IntRange(min=1), default=None, help="local devices to shard request batches over (default: all; batches pad to a multiple of this)")
+def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_ms: float, infer_tempo: bool, devices: Optional[int]):
     """run a resident map-generation HTTP service (POST /generate).
 
     Beyond the reference's one-shot predict CLI: loads the artifact once,
@@ -463,9 +464,15 @@ def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_m
         max_batch=max_batch,
         batch_window_ms=batch_window_ms,
         infer_tempo=infer_tempo,
+        devices=devices,
     )
     server = MapServer(service, host=host, port=port)
     bound_host, bound_port = server.address
+    if service.n_devices > 1:
+        click.echo(
+            f"[parallel] sharding request batches over {service.n_devices} "
+            f"devices (batches pad to multiples of {service.n_devices})"
+        )
     click.echo(f"serving on http://{bound_host}:{bound_port} (POST /generate, GET /healthz /stats)")
     try:
         server.serve_forever()

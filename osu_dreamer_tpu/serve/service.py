@@ -17,6 +17,11 @@ under concurrent load. This service:
 - pads each batch to the next power of two (max ``max_batch``) so at most
   log2(max_batch)+1 program sizes exist per signature — a fresh XLA compile
   costs seconds-to-minutes, a padded row costs microseconds;
+- on multi-chip hosts, shards each dispatch's song axis over a 1-D data
+  mesh (the same machinery as bulk ``predict --batch-songs``): params
+  replicate once, every dispatch pads to a multiple of the mesh size, and
+  rows run on separate chips — so even a solo request returns in one-row
+  time while the batch capacity scales with the chip count;
 - submits device programs WITHOUT synchronizing (jax dispatch is async) and
   hands each waiter a device-array slice; the device->host fetch AND the
   CPU tail (.osu decode, .osz zip) run on the REQUEST thread, so batch N+1's
@@ -90,6 +95,7 @@ class GeneratorService:
         max_batch: int = 4,
         batch_window_ms: float = 25.0,
         infer_tempo: bool = False,
+        devices: Optional[int] = None,
     ):
         import jax
 
@@ -99,11 +105,34 @@ class GeneratorService:
             raise ValueError("max_batch must be >= 1")
         self._jax = jax
         self.model, params = load_inference(model_path)
-        self.params = jax.device_put(params)
         self.chunk = self.model.args.latent.chunk_size
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.infer_tempo = infer_tempo
+
+        # multi-device serving: shard the song axis of every dispatch over a
+        # 1-D data mesh (the same machinery as bulk predict --batch-songs).
+        # Every dispatch pads to a multiple of the mesh size — rows run on
+        # separate chips, so the padding costs idle-row energy, not latency
+        # (a solo request on an 8-chip host still returns in ~one-row time).
+        devs = jax.local_devices()
+        n_dev = len(devs) if devices is None else max(1, min(devices, len(devs)))
+        n_dev = min(n_dev, max_batch)
+        self._song_sharding = None
+        if n_dev > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from osu_dreamer_tpu.parallel import data_parallel_mesh, replicate
+
+            self.max_batch = -(-max_batch // n_dev) * n_dev
+            mesh = data_parallel_mesh(devs[:n_dev])
+            self.params = replicate(params, mesh)
+            self._song_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        else:
+            # pin host numpy params on device ONCE (passed raw to a jitted
+            # call they would re-upload the artifact every dispatch)
+            self.params = jax.device_put(params)
+        self.n_devices = n_dev
 
         self._sample = self._build_sampler()
 
@@ -141,6 +170,9 @@ class GeneratorService:
         from osu_dreamer_tpu.audio import spec_for_model_batch
 
         model = self.model
+        # a sharded program forces the partitionable scan featurizer
+        # (Mosaic kernels can't be auto-sharded across the mesh)
+        pallas = False if self._song_sharding is not None else None
 
         @partial(
             jax.jit,
@@ -149,7 +181,7 @@ class GeneratorService:
         def sample(p, waves_i16, real_frames, labels, key, n_frames,
                    out_frames, steps, guidance):
             spec = spec_for_model_batch(
-                waves_i16, real_frames, n_frames, out_frames
+                waves_i16, real_frames, n_frames, out_frames, pallas=pallas
             )  # (S, out_frames, A)
             return model.apply(
                 p, spec, labels, key, steps, style_guidance=guidance
@@ -216,18 +248,28 @@ class GeneratorService:
     def _dispatch(self, batch: list[_Pending]) -> None:
         import jax.numpy as jnp
 
-        # pad the song axis to the next power of two (bounded program count)
+        # pad the song axis to the next power of two (bounded program count),
+        # then to a multiple of the data mesh so sharded dispatches divide
         S = 1
         while S < len(batch):
             S *= 2
         S = min(S, self.max_batch)
+        S = -(-S // self.n_devices) * self.n_devices
         rows = list(batch) + [batch[-1]] * (S - len(batch))
 
-        waves = jnp.asarray(np.stack([r.buf for r in rows]))
-        rfs = jnp.asarray(np.asarray([r.real_frames for r in rows], np.int32))
-        labels = jnp.asarray(
-            np.stack([r.labels for r in rows]), jnp.float32
-        )  # (S, D, 5) — per-song conditioning
+        waves_np = np.stack([r.buf for r in rows])
+        rfs_np = np.asarray([r.real_frames for r in rows], np.int32)
+        labels_np = np.stack([r.labels for r in rows]).astype(np.float32)
+        if self._song_sharding is not None:
+            import jax
+
+            waves = jax.device_put(waves_np, self._song_sharding)
+            rfs = jax.device_put(rfs_np, self._song_sharding)
+            labels = jax.device_put(labels_np, self._song_sharding)
+        else:
+            waves = jnp.asarray(waves_np)
+            rfs = jnp.asarray(rfs_np)
+            labels = jnp.asarray(labels_np)  # (S, D, 5) — per-song conditioning
         first = batch[0]
         key = self._next_key(first.seed)
 
@@ -356,7 +398,8 @@ class GeneratorService:
         return {
             "ok": not self._closed,
             "backend": self._jax.default_backend(),
-            "devices": len(self._jax.local_devices()),
+            "devices": self.n_devices,
+            "devices_visible": len(self._jax.local_devices()),
             "chunk": self.chunk,
             "max_batch": self.max_batch,
             "uptime_s": round(time.time() - self.stats["started_at"], 1),

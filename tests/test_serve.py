@@ -14,6 +14,8 @@ Covers (with a tiny randomly-initialized artifact — structure, not quality):
 
 import concurrent.futures as cf
 import io
+import os
+import sys
 import threading
 import zipfile
 from pathlib import Path
@@ -156,6 +158,60 @@ class TestService:
     def test_bad_diff_rejected(self, service):
         with pytest.raises(ValueError):
             service.generate(b"\0" * 64, diffs=[(1.0, 2.0)])
+
+
+@pytest.mark.slow
+def test_multi_device_serving(artifact_path, tmp_path):
+    """DP serving on an 8-virtual-CPU-device mesh (subprocess, same pattern
+    as tests/test_parallel.py): concurrent requests shard over the data
+    mesh, every dispatch pads to a multiple of the mesh size, outputs are
+    structurally valid .osz bytes"""
+    import subprocess
+
+    audio_path = tmp_path / "song.wav"
+    t = np.arange(int(SR * 1.5)) / SR
+    write_wav(audio_path, np.sin(2 * np.pi * 220 * t).astype(np.float32) * 0.5)
+
+    env = {
+        **{k: v for k, v in os.environ.items() if "AXON" not in k.upper()},
+        "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache_mc",
+    }
+    env.pop("PJRT_LIBRARY_PATH", None)
+
+    code = f"""
+import concurrent.futures as cf, io, zipfile
+from osu_dreamer_tpu.serve import GeneratorService
+
+svc = GeneratorService({str(artifact_path)!r}, max_batch=8, batch_window_ms=200.0)
+assert svc.n_devices == 8, svc.n_devices
+assert svc._song_sharding is not None
+audio = open({str(audio_path)!r}, "rb").read()
+
+def go(i):
+    return svc.generate(audio, sample_steps=2, title=f"t{{i}}", artist="mp")
+
+with cf.ThreadPoolExecutor(3) as ex:
+    results = list(ex.map(go, range(3)))
+for name, osz in results:
+    with zipfile.ZipFile(io.BytesIO(osz)) as z:
+        assert any(n.endswith(".osu") for n in z.namelist())
+stats = svc.snapshot_stats()
+assert stats["requests"] == 3
+# every dispatch padded to a multiple of the mesh size (8)
+total_rows = stats["batched_rows"] + stats["padded_rows"]
+assert total_rows % 8 == 0, stats
+svc.close()
+print("multi-device serving ok:", stats["batches"], "dispatches")
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env, cwd=Path(__file__).parent.parent,
+        capture_output=True, text=True, timeout=560,
+    )
+    assert proc.returncode == 0, f"child failed:\n{proc.stdout}\n{proc.stderr}"
+    assert "multi-device serving ok" in proc.stdout
 
 
 @pytest.mark.slow
