@@ -246,6 +246,7 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     # Device sets: local devices only — under jax.distributed each process
     # feeds its own host-local waves, so the mesh must not span hosts here.
     song_sharding = None
+    song_mesh = None
     devices = jax.local_devices()
     if len(devices) > 1 and batch_songs > 1:
         from jax.sharding import NamedSharding, PartitionSpec
@@ -260,6 +261,7 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         mesh = data_parallel_mesh(devices[:n_dev])
         params = replicate(params, mesh)
         song_sharding = NamedSharding(mesh, PartitionSpec("data"))
+        song_mesh = mesh
         click.echo(
             f"[parallel] sharding {batch_songs}-song batches over {n_dev} "
             f"of {len(devices)} devices"
@@ -274,17 +276,40 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     # featurizer + 3-stage sampler fused into ONE device program per BATCH of
     # songs: a single dispatch (the relay round trip is material), the spec
     # never materializes host-side, and the LDM batches songs x difficulties
-    # through the (small) models together. A sharded program forces the
-    # partitionable scan featurizer (Mosaic kernels can't be auto-sharded).
-    @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
-    def sample(p, waves_i16, real_frames, n_frames, out_frames, lb, k):
-        spec = spec_for_model_batch(
-            waves_i16, real_frames, n_frames, out_frames,
-            pallas=False if song_sharding is not None else None,
-        )  # (S, out_frames, A_DIM)
+    # through the (small) models together. Multi-device batches run under
+    # shard_map over the data mesh — each shard executes the FULL per-song
+    # program (Pallas featurizer/model kernels included; GSPMD cannot
+    # auto-partition Mosaic kernels, shard_map never asks it to). The rng
+    # folds in the shard index so rows stay independent across shards
+    # (seeded runs reproduce at a fixed device count; the row<->noise
+    # pairing differs from a single-device run).
+    def _sample_local(p, waves_i16, real_frames, lb, k, n_frames, out_frames):
+        spec = spec_for_model_batch(waves_i16, real_frames, n_frames, out_frames)
         return model.apply(
             p, spec, lb, k, sample_steps, style_guidance=style_guidance
         )
+
+    if song_mesh is None:
+
+        @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
+        def sample(p, waves_i16, real_frames, n_frames, out_frames, lb, k):
+            return _sample_local(p, waves_i16, real_frames, lb, k, n_frames, out_frames)
+
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
+        def sample(p, waves_i16, real_frames, n_frames, out_frames, lb, k):
+            def local(p, w, rf, lb, k):
+                k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+                return _sample_local(p, w, rf, lb, k, n_frames, out_frames)
+
+            return shard_map(
+                local, mesh=song_mesh,
+                in_specs=(P(), P("data"), P("data"), P(), P()),
+                out_specs=P("data"), check_rep=False,
+            )(p, waves_i16, real_frames, lb, k)
 
     # songs move: device sampling -> (pool) .osu decode -> .osz write; the
     # device never waits on the host tail

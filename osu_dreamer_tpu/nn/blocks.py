@@ -56,7 +56,7 @@ class SwiGLU(nn.Module):
     seq_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False, params_only: bool = False):
         h_dim = int(self.dim * self.expand * 2 / 3)
         K = 1 + 2 * self.radius
         lecun = nn.initializers.lecun_normal()
@@ -70,6 +70,11 @@ class SwiGLU(nn.Module):
         out_kernel = self.param("out_kernel", lecun, (h_dim, self.dim), jnp.float32)
         out_bias = self.param("out_bias", zeros_init, (self.dim,), jnp.float32)
 
+        if params_only:
+            # declare-and-return for fused layer kernels (ops/film_layer.py)
+            # that consume the params directly under this module's path
+            return (dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias)
+
         if self.seq_axis is not None:
             return self._sharded_forward(
                 x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias,
@@ -79,15 +84,25 @@ class SwiGLU(nn.Module):
         use_fused = self.fused if self.fused is not None else _pallas_swiglu_default()
         if self.fused is None and use_fused:
             # heuristics measured on v5e (see tests/test_ops.py + ops/swiglu.py):
-            # the kernel wins on inference when the grid has enough programs
-            # to pipeline DMA against compute and channels are lane-aligned;
-            # under training its recompute-based backward costs an extra
-            # forward, so the XLA path wins there
-            from osu_dreamer_tpu.ops.swiglu import DEFAULT_TILE
+            # the kernel needs enough grid programs to pipeline DMA against
+            # compute and lane-aligned channels. Training uses it too since
+            # the flash-style backward kernel (ops/swiglu.py _bwd_kernel)
+            # replaced the recompute-through-XLA backward — when its VMEM
+            # footprint fits; _bwd falls back to the XLA path otherwise, so
+            # gate on the same feasibility check to avoid a fwd-only win
+            # being eaten by a slower fallback backward
+            from osu_dreamer_tpu.ops.swiglu import (
+                DEFAULT_TILE,
+                _bwd_vmem_bytes,
+                bwd_kernel_feasible,
+            )
 
             B, L, C = x.shape
             programs = B * -(-L // DEFAULT_TILE)
-            use_fused = (not train) and programs >= 8 and C % 128 == 0
+            use_fused = programs >= 8 and C % 128 == 0
+            if train and use_fused:
+                h_dim_ = int(self.dim * self.expand * 2 / 3)
+                use_fused = bwd_kernel_feasible(C, h_dim_, 1 + 2 * self.radius)
         use_dropout = self.dropout > 0 and train
         if use_fused and self.radius > 0 and not use_dropout:
             from osu_dreamer_tpu.ops import fused_swiglu
@@ -168,6 +183,27 @@ class FilmStack(nn.Module):
     radius: int = 1
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.bfloat16
+    fused: bool | None = None  # None = auto (fused layer kernel on TPU)
+
+    def _use_fused_layer(self, x: jnp.ndarray, train: bool) -> bool:
+        """fused norm+FiLM+SwiGLU+blocknorm+residual kernel
+        (ops/film_layer.py): one HBM pass per layer per direction instead of
+        a separate pass per arrow — the training-step win on conv-FFN
+        stacks (latent step ~10% MFU on pure XLA). Applies when the
+        backward's VMEM footprint fits and dropout is off."""
+        if self.fused is not None:
+            return self.fused
+        if self.radius <= 0 or (self.dropout > 0 and train):
+            return False
+        if not _pallas_swiglu_default():
+            return False
+        from osu_dreamer_tpu.ops.film_layer import feasible_tile
+
+        B, L, C = x.shape
+        if C % 128 != 0 or B * -(-L // 512) < 8:
+            return False
+        h_dim = int(self.dim * self.expand * 2 / 3)
+        return feasible_tile(C, h_dim, 1 + 2 * self.radius) is not None
 
     @nn.compact
     def __call__(
@@ -177,6 +213,11 @@ class FilmStack(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         assert (cond is not None) == (self.cond_dim > 0), "cond <-> cond_dim mismatch"
+        use_fused_layer = self._use_fused_layer(x, train)
+        if use_fused_layer:
+            from osu_dreamer_tpu.ops.film_layer import fused_film_layer
+
+            x = x.astype(self.dtype)
 
         for i in range(self.n_layers):
             if cond is not None:
@@ -186,17 +227,35 @@ class FilmStack(nn.Module):
                     bias_init=zeros_init,
                     dtype=self.dtype,
                     name=f"film{i}",
-                )(cond)[:, None, :]
-                scale, shift, gate = jnp.split(film, 3, axis=-1)
+                )(cond)
+                scale, shift, gate = jnp.split(film, 3, axis=-1)  # (B, C)
             else:
-                scale = shift = gate = 0.0
+                scale = shift = gate = None
 
-            h = RMSNorm(self.dim, name=f"norm{i}")(x) * (1 + scale) + shift
-            h = SwiGLU(
+            norm1 = RMSNorm(self.dim, name=f"norm{i}")
+            ffn = SwiGLU(
                 self.dim, self.expand, self.radius, self.dropout,
                 dtype=self.dtype, name=f"ffn{i}",
-            )(h, train=train)
-            h = RMSNorm(self.dim, gain=1e-3, name=f"blocknorm{i}")(h)
+            )
+            norm2 = RMSNorm(self.dim, gain=1e-3, name=f"blocknorm{i}")
+
+            if use_fused_layer:
+                if scale is None:
+                    zero = jnp.zeros((x.shape[0], self.dim), self.dtype)
+                    scale = shift = gate = zero
+                g1 = norm1(x, params_only=True)
+                swp = ffn(x, params_only=True)
+                g2 = norm2(x, params_only=True)
+                x = fused_film_layer(x, scale, shift, gate, g1, g2, *swp)
+                continue
+
+            if scale is None:
+                scale = shift = gate = 0.0
+            else:
+                scale, shift, gate = (v[:, None, :] for v in (scale, shift, gate))
+            h = norm1(x) * (1 + scale) + shift
+            h = ffn(h, train=train)
+            h = norm2(h)
             x = x + h * (1 + gate)
 
         return RMSNorm(self.dim, name="out_norm")(x)

@@ -30,10 +30,15 @@ class RMSNorm(nn.Module):
     gain: float = 1.0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, params_only: bool = False) -> jnp.ndarray:
+        """``params_only=True`` declares and returns the gamma param without
+        computing — used by fused layer kernels (ops/film_layer.py) that
+        consume the param directly while keeping this module's param path"""
         gamma = None
         if self.affine:
             gamma = self.param(
                 "gamma", lambda _key: jnp.full((self.dim,), self.gain, jnp.float32)
             )
+        if params_only:
+            return gamma
         return rms_norm(x, gamma)

@@ -162,9 +162,225 @@ def _fwd(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias, tile, 
     return out, (x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias)
 
 
+def _bwd_kernel(
+    x_hbm, go_hbm, dww, dwb, wvg, bvg, wout,
+    dx_ref, ddw_ref, ddwb_ref, dwvg_ref, dbvg_ref, dwout_ref, dbout_ref,
+    xs, gos, sem_x, sem_g, *, tile, radius, h_dim,
+):
+    """flash-style backward: recompute the forward per tile out of VMEM,
+    emit dx for the tile, and accumulate all weight/bias grads in fp32
+    output blocks that stay VMEM-resident across the (sequential) TPU grid.
+
+    dY at a position needs only that position's recomputed intermediates,
+    but dx mixes dY across the conv taps — so the recompute runs on an
+    r-extended region and weight grads accumulate over the core rows only
+    (halo rows belong to the neighboring tiles' programs).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    K = 2 * radius + 1
+    r = radius
+    E = tile + 2 * r  # extended region: tile plus one conv halo each side
+
+    cp_x = pltpu.make_async_copy(x_hbm.at[b, pl.ds(t * tile, tile + 2 * _HALO)], xs, sem_x)
+    cp_g = pltpu.make_async_copy(go_hbm.at[b, pl.ds(t * tile, tile + 2 * _HALO)], gos, sem_g)
+    cp_x.start()
+    cp_g.start()
+
+    @pl.when((b == 0) & (t == 0))
+    def _zero_accums():
+        ddw_ref[...] = jnp.zeros_like(ddw_ref)
+        ddwb_ref[...] = jnp.zeros_like(ddwb_ref)
+        dwvg_ref[...] = jnp.zeros_like(dwvg_ref)
+        dbvg_ref[...] = jnp.zeros_like(dbvg_ref)
+        dwout_ref[...] = jnp.zeros_like(dwout_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+
+    cp_x.wait()
+    cp_g.wait()
+
+    f32 = jnp.float32
+
+    # ---- recompute the forward on the extended region (bit-matches _kernel)
+    # y_ext[e] = sum_k x[t*tile - r + e + k - r] w[k]: xs row (_HALO-2r)+e+k
+    base = _HALO - 2 * r
+    y = xs[base + r : base + r + E, :] * dww[r, :]
+    for k in range(K):
+        if k != r:
+            y += xs[base + k : base + k + E, :] * dww[k, :]
+    y += dwb[0, :]
+
+    vg = jnp.dot(y, wvg[:, :], preferred_element_type=f32)
+    vg += bvg[0, :].astype(f32)
+    v = vg[:, :h_dim]
+    g = vg[:, h_dim:]
+    sig = jax.nn.sigmoid(g)
+    sil = g * sig
+    spre = v * sil                                     # pre-norm gated value
+    mean_sq = jnp.mean(spre * spre, axis=-1, keepdims=True)
+    n = jax.lax.rsqrt(mean_sq + 1e-6)
+    hn = spre * n
+
+    # ---- backward chain (per position, fp32 stats)
+    dout = gos[_HALO - r : _HALO - r + E, :]           # grad at block output
+    dhn = jax.lax.dot_general(
+        dout, wout[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                  # (E, H)
+    # rms-norm backward: dspre = n*dhn - n^3 * spre * mean(dhn*spre)
+    dspre = n * dhn - (n * n * n) * spre * jnp.mean(dhn * spre, axis=-1, keepdims=True)
+    dv = dspre * sil
+    dg = dspre * v * (sig * (1.0 + g * (1.0 - sig)))   # d silu(g)
+    dvg = jnp.concatenate([dv, dg], axis=-1).astype(y.dtype)
+    dY = jax.lax.dot_general(
+        dvg, wvg[:, :], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    )                                                  # (E, C)
+
+    # ---- dx for the core tile: transpose conv over dY
+    # dx[q] = sum_k dY[q - k + r] w[k]; dY row of position q+r-k is l+2r-k
+    dx = dY[2 * r : 2 * r + tile, :] * dww[0, :].astype(f32)
+    for k in range(1, K):
+        dx += dY[2 * r - k : 2 * r - k + tile, :] * dww[k, :].astype(f32)
+    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+    # ---- weight/bias grads over core rows only (halo rows are owned by the
+    # neighboring tiles — padded tail rows contribute zero because go is
+    # zero there, hence dY/dvg/dout vanish)
+    core = slice(r, r + tile)
+    dout_c = dout[core, :]
+    hn_c = hn[core, :].astype(y.dtype)
+    y_c = y[core, :]
+    dvg_c = dvg[core, :]
+    dY_c = dY[core, :]
+
+    dwout_ref[...] += jax.lax.dot_general(
+        hn_c, dout_c, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    dbout_ref[0, :] += jnp.sum(dout_c.astype(f32), axis=0)
+    dwvg_ref[...] += jax.lax.dot_general(
+        y_c, dvg_c, (((0,), (0,)), ((), ())), preferred_element_type=f32,
+    )
+    dbvg_ref[0, :] += jnp.sum(dvg_c.astype(f32), axis=0)
+    # ddw[k] = sum_p dY[p] * x[p + k - r]: xs row _HALO + (e - r) + k - r
+    for k in range(K):
+        xk = xs[base + k + r : base + k + r + tile, :]
+        ddw_ref[k, :] += jnp.sum(dY_c * xk.astype(f32), axis=0)
+    ddwb_ref[0, :] += jnp.sum(dY_c, axis=0)
+
+
+def _fused_swiglu_bwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, grad_out, *, tile, interpret):
+    B, L, C = x.shape
+    K, _ = dw_kernel.shape
+    radius = K // 2
+    H = out_kernel.shape[0]
+
+    assert 2 * radius <= _HALO, f"2*radius {2 * radius} exceeds kernel halo {_HALO}"
+    tile = max(8, -(-min(tile, L) // 8) * 8)
+    Lp = -(-L // tile) * tile
+    pad = ((0, 0), (_HALO, Lp - L + _HALO), (0, 0))
+    xp = jnp.pad(x, pad)
+    gop = jnp.pad(grad_out.astype(x.dtype), pad)
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        partial(_bwd_kernel, tile=tile, radius=radius, h_dim=H),
+        grid=(B, Lp // tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((K, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 2 * H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 2 * H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * H), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lp, C), x.dtype),       # dx
+            jax.ShapeDtypeStruct((K, C), f32),               # d dw_kernel
+            jax.ShapeDtypeStruct((1, C), f32),               # d dw_bias
+            jax.ShapeDtypeStruct((C, 2 * H), f32),           # d vg_kernel
+            jax.ShapeDtypeStruct((1, 2 * H), f32),           # d vg_bias
+            jax.ShapeDtypeStruct((H, C), f32),               # d out_kernel
+            jax.ShapeDtypeStruct((1, C), f32),               # d out_bias
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * _HALO, C), x.dtype),
+            pltpu.VMEM((tile + 2 * _HALO, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        xp,
+        gop,
+        dw_kernel.astype(x.dtype),
+        dw_bias.astype(x.dtype)[None],
+        vg_kernel.astype(x.dtype),
+        vg_bias.astype(x.dtype)[None],
+        out_kernel.astype(x.dtype),
+    )
+    dx, ddw, ddwb, dwvg, dbvg, dwout, dbout = outs
+    return (
+        dx[:, :L],
+        ddw.astype(dw_kernel.dtype),
+        ddwb[0].astype(dw_bias.dtype),
+        dwvg.astype(vg_kernel.dtype),
+        dbvg[0].astype(vg_bias.dtype),
+        dwout.astype(out_kernel.dtype),
+        dbout[0].astype(out_kernel.dtype),
+    )
+
+
+def _bwd_vmem_bytes(C: int, H: int, K: int, tile: int) -> int:
+    """rough VMEM footprint of the backward kernel: resident weights +
+    accumulators + the big fp32 intermediates of one tile"""
+    E = tile + 2 * _HALO
+    weights = 2 * (K * C + C + C * 2 * H + 2 * H + H * C)
+    accums = 4 * (K * C + C + C * 2 * H + 2 * H + H * C + C)
+    work = 4 * E * (2 * H) * 3 + 4 * E * H * 2 + 4 * E * C * 2 + 2 * E * C * 2
+    return weights + accums + work
+
+
+def _feasible_bwd_tile(C: int, H: int, K: int, tile: int) -> int | None:
+    """largest tile <= ``tile`` whose backward working set fits a v5e's
+    ~16 MB VMEM, or None if even the smallest tile cannot fit (huge H)"""
+    while tile > 64 and _bwd_vmem_bytes(C, H, K, tile) > 14 * 2**20:
+        tile //= 2
+    return tile if _bwd_vmem_bytes(C, H, K, tile) <= 14 * 2**20 else None
+
+
+def bwd_kernel_feasible(C: int, H: int, K: int, tile: int = DEFAULT_TILE) -> bool:
+    """whether the flash-style backward kernel will engage for these dims
+    (callers gate the training-path fused dispatch on this so a fwd-only
+    win is never eaten by the slower recompute fallback backward)"""
+    return _feasible_bwd_tile(C, H, K, tile) is not None
+
+
 def _bwd(tile, interpret, residuals, grad_out):
-    # recompute-based backward through the jnp reference: XLA fuses this well
-    # and it is numerically identical to the kernel's forward
+    x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias = residuals
+    if dw_kernel is not None:
+        C = x.shape[-1]
+        H = out_kernel.shape[0]
+        K = dw_kernel.shape[0]
+        bwd_tile = _feasible_bwd_tile(C, H, K, tile)
+        if bwd_tile is not None:
+            dx, ddw, ddwb, dwvg, dbvg, dwout, dbout = _fused_swiglu_bwd_impl(
+                x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel,
+                grad_out, tile=bwd_tile, interpret=interpret,
+            )
+            return dx, ddw, ddwb, dwvg, dbvg, dwout, dbout
+    # no depthwise conv (radius 0) or VMEM-infeasible dims: recompute-based
+    # backward through the jnp reference (numerically identical forward)
     _, vjp = jax.vjp(swiglu_reference, *residuals)
     return vjp(grad_out)
 

@@ -128,6 +128,7 @@ class GeneratorService:
             mesh = data_parallel_mesh(devs[:n_dev])
             self.params = replicate(params, mesh)
             self._song_sharding = NamedSharding(mesh, PartitionSpec("data"))
+            self._mesh = mesh
         else:
             # pin host numpy params on device ONCE (passed raw to a jitted
             # call they would re-upload the artifact every dispatch)
@@ -163,31 +164,51 @@ class GeneratorService:
     # ------------------------------------------------------------- device --
 
     def _build_sampler(self):
-        from functools import partial
-
         import jax
 
         from osu_dreamer_tpu.audio import spec_for_model_batch
 
         model = self.model
-        # a sharded program forces the partitionable scan featurizer
-        # (Mosaic kernels can't be auto-sharded across the mesh)
-        pallas = False if self._song_sharding is not None else None
 
-        @partial(
-            jax.jit,
-            static_argnames=("n_frames", "out_frames", "steps", "guidance"),
-        )
-        def sample(p, waves_i16, real_frames, labels, key, n_frames,
-                   out_frames, steps, guidance):
+        def local(p, waves_i16, real_frames, labels, key, n_frames,
+                  out_frames, steps, guidance):
             spec = spec_for_model_batch(
-                waves_i16, real_frames, n_frames, out_frames, pallas=pallas
+                waves_i16, real_frames, n_frames, out_frames
             )  # (S, out_frames, A)
             return model.apply(
                 p, spec, labels, key, steps, style_guidance=guidance
             )
 
-        return sample
+        if self._song_sharding is None:
+            sample = local
+        else:
+            # multi-chip: shard_map over the data mesh — each shard runs the
+            # FULL per-song program (Pallas kernels included; GSPMD cannot
+            # auto-partition Mosaic kernels, shard_map never asks it to).
+            # The rng folds in the shard index so co-batched songs on
+            # different chips draw independent noise.
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh = self._mesh
+
+            def sample(p, waves_i16, real_frames, labels, key, n_frames,
+                       out_frames, steps, guidance):
+                def shard(p, w, rf, lb, k):
+                    k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+                    return local(p, w, rf, lb, k, n_frames, out_frames,
+                                 steps, guidance)
+
+                return shard_map(
+                    shard, mesh=mesh,
+                    in_specs=(P(), P("data"), P("data"), P("data"), P()),
+                    out_specs=P("data"), check_rep=False,
+                )(p, waves_i16, real_frames, labels, key)
+
+        return jax.jit(
+            sample,
+            static_argnames=("n_frames", "out_frames", "steps", "guidance"),
+        )
 
     def _next_key(self, seed: Optional[int]):
         import jax

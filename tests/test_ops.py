@@ -61,6 +61,137 @@ class TestFusedSwiGLU:
         for a, b in zip(g_fused, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    def test_backward_kernel_all_grads(self):
+        """the flash-style backward kernel (ops/swiglu.py _bwd_kernel):
+        dx and EVERY weight/bias grad vs autodiff of the reference, over
+        multi-batch ragged-length inputs and both conv radii"""
+        from osu_dreamer_tpu.ops.swiglu import _fused_swiglu_bwd_impl
+
+        for (B, L, C, H, K, tile) in [(2, 70, 16, 20, 5, 32), (3, 33, 8, 12, 3, 16)]:
+            p = make_params(C=C, H=H, K=K)
+            ks = jax.random.split(jax.random.PRNGKey(B), 2)
+            x = jax.random.normal(ks[0], (B, L, C))
+            go = jax.random.normal(ks[1], (B, L, C))
+
+            _, vjp = jax.vjp(swiglu_reference, x, *p.values())
+            ref = vjp(go)
+            got = _fused_swiglu_bwd_impl(
+                x, p["dw_kernel"], p["dw_bias"], p["vg_kernel"], p["vg_bias"],
+                p["out_kernel"], go, tile=tile, interpret=True,
+            )
+            names = ["dx", "d_dw_kernel", "d_dw_bias", "d_vg_kernel",
+                     "d_vg_bias", "d_out_kernel", "d_out_bias"]
+            for name, r, g in zip(names, ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4,
+                    err_msg=f"{name} at B{B} L{L} C{C} K{K}",
+                )
+
+
+class TestFusedFilmLayer:
+    """ops/film_layer.py: the whole FiLM residual layer (pre-norm + FiLM +
+    SwiGLU + block-norm + gated residual) as one kernel, fwd + flash-style
+    bwd, vs the exact jnp composition."""
+
+    def _args(self, B, L, C, H, K, seed=7):
+        ks = jax.random.split(jax.random.PRNGKey(seed), 14)
+        return (
+            jax.random.normal(ks[0], (B, L, C)),
+            jax.random.normal(ks[1], (B, C)) * 0.3,          # scale
+            jax.random.normal(ks[2], (B, C)) * 0.3,          # shift
+            jax.random.normal(ks[3], (B, C)) * 0.3,          # gate
+            jax.random.normal(ks[4], (C,)) * 0.2 + 1.0,      # g1
+            jax.random.normal(ks[5], (C,)) * 0.2,            # g2
+            jax.random.normal(ks[6], (K, C)) * 0.3,
+            jax.random.normal(ks[7], (C,)) * 0.1,
+            jax.random.normal(ks[8], (C, 2 * H)) * 0.1,
+            jax.random.normal(ks[9], (2 * H,)) * 0.1,
+            jax.random.normal(ks[10], (H, C)) * 0.1,
+            jax.random.normal(ks[11], (C,)) * 0.1,
+        ), jax.random.normal(ks[12], (B, L, C))
+
+    def test_forward_matches_reference(self):
+        from osu_dreamer_tpu.ops.film_layer import (
+            _fused_film_layer_fwd_impl,
+            film_layer_reference,
+        )
+
+        for (B, L, C, H, K, tile) in [(2, 70, 16, 20, 5, 32), (3, 33, 8, 12, 3, 16)]:
+            args, _ = self._args(B, L, C, H, K)
+            ref = film_layer_reference(*args)
+            got = _fused_film_layer_fwd_impl(*args, tile=tile, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"B{B} L{L} C{C}",
+            )
+
+    def test_backward_all_grads(self):
+        from osu_dreamer_tpu.ops.film_layer import (
+            _fused_film_layer_bwd_impl,
+            film_layer_reference,
+        )
+
+        names = ["dx", "dscale", "dshift", "dgate", "dg1", "dg2",
+                 "ddw", "ddwb", "dwvg", "dbvg", "dwout", "dbout"]
+        for (B, L, C, H, K, tile) in [(2, 70, 16, 20, 5, 32), (3, 33, 8, 12, 3, 16)]:
+            args, go = self._args(B, L, C, H, K)
+            _, vjp = jax.vjp(film_layer_reference, *args)
+            ref = vjp(go)
+            got = _fused_film_layer_bwd_impl(*args, go, tile=tile, interpret=True)
+            for name, r, g in zip(names, ref, got):
+                np.testing.assert_allclose(
+                    np.asarray(g), np.asarray(r), rtol=3e-4, atol=3e-4,
+                    err_msg=f"{name} B{B} L{L} C{C}",
+                )
+
+    def test_filmstack_fused_path_agrees(self):
+        """FilmStack(fused=True) through the interpreted kernel equals the
+        unfused module path, conditioned AND unconditioned, same param
+        tree — grads included"""
+        from osu_dreamer_tpu.nn import FilmStack
+        from osu_dreamer_tpu.ops import film_layer as fl_mod
+
+        orig = fl_mod.fused_film_layer
+
+        def interpreted(*args, **kw):
+            return orig(*args[:12], DEFAULT_TILE_SMALL, True)
+
+        DEFAULT_TILE_SMALL = 16
+        for cond_dim in (0, 12):
+            x = jax.random.normal(KEY, (2, 40, 16))
+            cond = jax.random.normal(KEY, (2, cond_dim)) if cond_dim else None
+            ref_mod = FilmStack(16, cond_dim, n_layers=2, expand=2, radius=2,
+                                dtype=jnp.float32, fused=False)
+            params = ref_mod.init(KEY, x, cond)
+            ref = ref_mod.apply(params, x, cond)
+
+            fl_mod.fused_film_layer = interpreted
+            try:
+                fused_mod = FilmStack(16, cond_dim, n_layers=2, expand=2,
+                                      radius=2, dtype=jnp.float32, fused=True)
+                got = fused_mod.apply(params, x, cond)
+
+                def loss(p, mod):
+                    return jnp.sum(mod.apply(p, x, cond).astype(jnp.float32) ** 2)
+
+                g_ref = jax.grad(loss)(params, ref_mod)
+                g_fused = jax.grad(loss)(params, fused_mod)
+            finally:
+                fl_mod.fused_film_layer = orig
+
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5,
+                err_msg=f"cond_dim={cond_dim}",
+            )
+            flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+            flat_f = dict(jax.tree_util.tree_leaves_with_path(g_fused))
+            assert len(flat_r) == len(flat_f)
+            for path, r in flat_r:
+                np.testing.assert_allclose(
+                    np.asarray(flat_f[path]), np.asarray(r), rtol=1e-3, atol=1e-3,
+                    err_msg=f"grad {jax.tree_util.keystr(path)} cond_dim={cond_dim}",
+                )
+
 
 class TestSwiGLUModuleDispatch:
     def test_fused_flag_paths_agree(self):
