@@ -196,9 +196,10 @@ def export_inference_cmd(latent_ckpt_path, denoiser_ckpt_path, style_ckpt_path, 
 @click.option("--artist", type=str, help="song artist (read from audio tags when omitted; single audio file only)")
 @click.option("--seed", type=int, default=None, help="sampling seed (default: random)")
 @click.option("--infer-tempo", is_flag=True, help="estimate BPM/offset from the predicted onsets (beyond the reference, which emits a slider-velocity-derived tempo)")
+@click.option("--snap-divisor", type=click.IntRange(min=0), default=0, help="snap hit times to 1/N of the inferred beat (4 = sixteenths, the ranked-map editor convention); implies --infer-tempo. 0 = off")
 @click.option("--serialize-workers", type=click.IntRange(min=1), default=None, help="host processes decoding .osu files in bulk mode (default: up to 4; 1 = in-process)")
 @click.option("--batch-songs", type=click.IntRange(min=1), default=1, help="songs sampled per device program in bulk mode. >1 batches songs of the same length class through one compiled pipeline (measured 67 -> 56 ms/map device time at 4); worth it for large bulk jobs, but each batch size compiles its own program first")
-def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, artist, seed, infer_tempo, serialize_workers, batch_songs):
+def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, artist, seed, infer_tempo, snap_divisor, serialize_workers, batch_songs):
     """generate osu!std beatmaps from raw audio -> one .osz mapset per song.
 
     Bulk mode (repeated --audio-file): songs in the same ~6 s length class
@@ -319,7 +320,8 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         signals = np.asarray(chart, np.float32)[:, :L].transpose(0, 2, 1)
         label_rows = np.asarray(pred_labels, np.float32)
         jobs = [
-            (s_title, s_artist, audio_file.name, i, row, sig, infer_tempo)
+            (s_title, s_artist, audio_file.name, i, row, sig, infer_tempo,
+             snap_divisor)
             for i, (row, sig) in enumerate(zip(label_rows, signals))
         ]
         if pool is None:
@@ -433,7 +435,8 @@ def _spawn_serialize_pool(workers: int):
             os.environ["PALLAS_AXON_POOL_IPS"] = saved
 
 
-def _decode_osu_entry(title, artist, audio_name, version_i, label_row, signal, infer_tempo):
+def _decode_osu_entry(title, artist, audio_name, version_i, label_row, signal,
+                      infer_tempo, snap_divisor=0):
     """one difficulty's .osu text — top-level so it pickles to pool workers"""
     from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
 
@@ -443,6 +446,7 @@ def _decode_osu_entry(title, artist, audio_name, version_i, label_row, signal, i
         label_row,
         signal,
         infer_tempo=infer_tempo,
+        snap_divisor=snap_divisor,
     )
     return name, text
 
@@ -474,8 +478,9 @@ def _write_mapset(audio_file, title, artist, entries) -> None:
 @click.option("--max-batch", type=click.IntRange(min=1), default=4, show_default=True, help="max concurrent songs batched into one device program")
 @click.option("--batch-window-ms", type=float, default=25.0, show_default=True, help="how long the dispatcher waits to widen a batch")
 @click.option("--infer-tempo", is_flag=True, help="infer real timing points from the predicted onset envelope")
+@click.option("--snap-divisor", type=click.IntRange(min=0), default=0, help="snap hit times to 1/N of the inferred beat; implies --infer-tempo. 0 = off")
 @click.option("--devices", type=click.IntRange(min=1), default=None, help="local devices to shard request batches over (default: all; batches pad to a multiple of this)")
-def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_ms: float, infer_tempo: bool, devices: Optional[int]):
+def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_ms: float, infer_tempo: bool, snap_divisor: int, devices: Optional[int]):
     """run a resident map-generation HTTP service (POST /generate).
 
     Beyond the reference's one-shot predict CLI: loads the artifact once,
@@ -489,6 +494,7 @@ def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_m
         max_batch=max_batch,
         batch_window_ms=batch_window_ms,
         infer_tempo=infer_tempo,
+        snap_divisor=snap_divisor,
         devices=devices,
     )
     server = MapServer(service, host=host, port=port)

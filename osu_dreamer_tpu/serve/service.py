@@ -95,6 +95,7 @@ class GeneratorService:
         max_batch: int = 4,
         batch_window_ms: float = 25.0,
         infer_tempo: bool = False,
+        snap_divisor: int = 0,
         devices: Optional[int] = None,
     ):
         import jax
@@ -109,6 +110,7 @@ class GeneratorService:
         self.max_batch = max_batch
         self.batch_window = batch_window_ms / 1000.0
         self.infer_tempo = infer_tempo
+        self.snap_divisor = int(snap_divisor)
 
         # multi-device serving: shard the song axis of every dispatch over a
         # 1-D data mesh (the same machinery as bulk predict --batch-songs).
@@ -404,6 +406,7 @@ class GeneratorService:
             entries.append((name, decode_beatmap(
                 MapMetadata(audio_name, title, artist, f"version {i}"),
                 row, sig, infer_tempo=self.infer_tempo,
+                snap_divisor=self.snap_divisor,
             )))
 
         out = io.BytesIO()

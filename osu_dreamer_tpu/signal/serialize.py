@@ -10,6 +10,7 @@ acknowledged gap in the reference too (TODO at decode.py:131).
 
 from __future__ import annotations
 
+import math
 import warnings
 from dataclasses import dataclass
 
@@ -38,17 +39,52 @@ def _hit_sound_bits(whistle: bool, finish: bool, clap: bool) -> int:
 
 
 def decode_beatmap(
-    meta: MapMetadata, labels: np.ndarray, enc: np.ndarray, infer_tempo: bool = False
+    meta: MapMetadata,
+    labels: np.ndarray,
+    enc: np.ndarray,
+    infer_tempo: bool = False,
+    snap_divisor: int = 0,
 ) -> str:
     """(X_DIM, L) predicted signal + labels -> .osu file contents.
 
     ``infer_tempo`` estimates the beat period/phase from the onset envelope
     (signal/tempo.py) instead of deriving the tempo from slider velocities —
-    capability beyond the reference, which leaves this as a TODO."""
+    capability beyond the reference, which leaves this as a TODO.
+
+    ``snap_divisor > 0`` additionally snaps hit times onto 1/divisor of the
+    inferred beat (4 = sixteenth notes), the editor convention ranked maps
+    follow; it implies tempo inference so the grid and the emitted timing
+    point agree. Start times stay monotonic (a snap that would land before
+    the previous object's end rolls forward to the next tick), and
+    slider/spinner ends stay strictly after their starts."""
     assert enc.ndim == 2 and enc.shape[0] == len(Channel), (
         f"enc must be ({len(Channel)}, L), got {enc.shape}"
     )
     assert labels.shape[-1] == NUM_LABELS
+    snap_divisor = int(snap_divisor)
+    infer_tempo = bool(infer_tempo) or snap_divisor > 0
+    if infer_tempo:
+        from .tempo import estimate_tempo
+
+        tempo_beat_len, tempo_offset = estimate_tempo(
+            enc[Channel.ONSET], get_frame_times(enc.shape[1])
+        )
+
+    if snap_divisor > 0:
+        tick = tempo_beat_len / snap_divisor
+
+        def snap(t: float, floor: int | None = None) -> int:
+            # nearest grid tick; `floor` rolls an early landing forward to
+            # the first tick at/after it
+            k = round((t - tempo_offset) / tick)
+            if floor is not None:
+                k = max(k, math.ceil((floor - tempo_offset) / tick - 1e-9))
+            return int(round(tempo_offset + k * tick))
+    else:
+
+        def snap(t: float, floor: int | None = None) -> int:
+            return int(t)
+
     frame_ms = get_frame_times(enc.shape[1]).round().astype(int)
     cursor = enc[[Channel.X, Channel.Y]] * PLAYFIELD
 
@@ -57,10 +93,15 @@ def decode_beatmap(
     slider_times: list[int] = []
     slider_vels: list[float] = []
     prev_end: int | None = None
+    prev_t = -(10**9)
 
     for hit in decode_hit_signal(enc[HitChannels]):
         onset_frame, new_combo, whistle, finish, clap, *hold = hit
-        t = int(frame_ms[onset_frame])
+        # starts may touch the previous object's END (legal .osu) but never
+        # its START — two onsets snapping onto one tick would stack
+        floor = None if prev_end is None else max(prev_end, prev_t + 1)
+        t = snap(int(frame_ms[onset_frame]), floor=floor)
+        prev_t = t
         combo_bit = 1 << 2 if new_combo else 0
         sound = _hit_sound_bits(whistle, finish, clap)
 
@@ -77,7 +118,7 @@ def decode_beatmap(
             continue
 
         end_frame, num_slides = hold
-        end_t = int(frame_ms[end_frame])
+        end_t = snap(int(frame_ms[end_frame]), floor=t + 1)
 
         if num_slides == 0:  # spinner
             hit_lines.append(f"256,192,{t},{(1 << 3) + combo_bit},{sound},{end_t}")
@@ -101,9 +142,7 @@ def decode_beatmap(
         slider_vels.append(length * num_slides / (end_t - t))
 
     if infer_tempo:
-        from .tempo import estimate_tempo
-
-        beat_len, offset = estimate_tempo(enc[Channel.ONSET], get_frame_times(enc.shape[1]))
+        beat_len, offset = tempo_beat_len, tempo_offset
         timing_lines = [f"{offset:.0f},{beat_len},4,0,0,50,1,0"]
     else:
         # one global tempo chosen so slider SVs cluster around 1:

@@ -203,3 +203,89 @@ class TestOnsetMatch:
         assert (p, r, f1) == (0.0, 0.0, 0.0)
         p, r, f1 = self._match([100], [])
         assert (p, r, f1) == (0.0, 0.0, 0.0)
+
+
+class TestBeatSnap:
+    """predict --snap-divisor: decoded hit times land on the inferred beat
+    grid (signal/serialize.py snap path; beyond the reference)"""
+
+    def _roundtrip(self, osu_text, **kw):
+        from osu_dreamer_tpu.audio import get_frame_for_time, get_frame_times
+        from osu_dreamer_tpu.osu import Beatmap
+        from osu_dreamer_tpu.signal import (
+            MapMetadata, cursor_signal, decode_beatmap, get_labels, hit_signal,
+        )
+
+        bm = Beatmap(osu_text)
+        end = max(o.end_time() for o in bm.hit_objects) + 1000
+        ft = get_frame_times(get_frame_for_time(end))
+        enc = np.concatenate([hit_signal(bm, ft), cursor_signal(bm, ft)])
+        text = decode_beatmap(MapMetadata("a.mp3", "T", "A"), get_labels(bm), enc, **kw)
+        return bm, Beatmap(text)
+
+    def test_times_on_grid_and_monotonic(self, sample_osu_text):
+        """snap_divisor alone (no infer_tempo flag) snaps every start AND
+        hold end onto the emitted timing point's 1/4-beat grid"""
+        from osu_dreamer_tpu.osu import Circle
+
+        bm, rec = self._roundtrip(sample_osu_text, snap_divisor=4)
+        assert len(rec.hit_objects) == len(bm.hit_objects)
+
+        tp = rec.timing_points[0]
+        # offset is emitted rounded to whole ms ({offset:.0f}); grid checks
+        # tolerate that rounding plus the int() of each snapped time
+        offset = float(round(tp.t))
+        tick = tp.beat_length / 4.0
+
+        def off_grid(t):
+            k = round((t - offset) / tick)
+            return abs(t - (offset + k * tick))
+
+        prev_t, prev_end = -1e9, -1e9
+        for obj in rec.hit_objects:
+            assert off_grid(obj.t) <= 1.0, (obj.t, tick, offset)
+            assert obj.t > prev_t and obj.t >= prev_end
+            if not isinstance(obj, Circle):
+                assert obj.end_time() > obj.t
+            prev_t, prev_end = obj.t, obj.end_time()
+
+    def test_collision_rolls_forward(self):
+        """two onsets that would share a tick stay distinct: the second
+        rolls to the next tick instead of stacking"""
+        # steady 120 BPM circles to pin the grid, plus one pair 60 ms apart
+        # (well past decode tolerance, well under a quarter-beat tick)
+        hits = "\n".join(
+            f"{64 + 17 * i},{64 + 13 * i},{t},1,0,0:0:0:0:"
+            for i, t in enumerate(
+                [1000, 1060] + [1000 + 500 * k for k in range(1, 24)]
+            )
+        )
+        osu = (
+            "osu file format v14\n\n[General]\nAudioFilename: a.mp3\nMode: 0\n\n"
+            "[Metadata]\nTitle: t\nArtist: a\nCreator: c\nVersion: v\n\n"
+            "[Difficulty]\nHPDrainRate: 5\nCircleSize: 4\nOverallDifficulty: 5\n"
+            "ApproachRate: 5\nSliderMultiplier: 1\nSliderTickRate: 1\n\n"
+            "[TimingPoints]\n1000,500,4,0,0,50,1,0\n\n[HitObjects]\n" + hits
+        )
+        bm, rec = self._roundtrip(osu, snap_divisor=4)
+        assert len(rec.hit_objects) == len(bm.hit_objects)
+        ts = [o.t for o in rec.hit_objects]
+        assert all(b > a for a, b in zip(ts, ts[1:])), ts
+
+    def test_divisor_zero_is_identity(self, sample_osu_text):
+        """snap_divisor=0 must not perturb the un-snapped serializer"""
+        from osu_dreamer_tpu.audio import get_frame_for_time, get_frame_times
+        from osu_dreamer_tpu.osu import Beatmap
+        from osu_dreamer_tpu.signal import (
+            MapMetadata, cursor_signal, decode_beatmap, get_labels, hit_signal,
+        )
+
+        bm = Beatmap(sample_osu_text)
+        end = max(o.end_time() for o in bm.hit_objects) + 1000
+        ft = get_frame_times(get_frame_for_time(end))
+        enc = np.concatenate([hit_signal(bm, ft), cursor_signal(bm, ft)])
+        meta = MapMetadata("a.mp3", "T", "A")
+        labels = get_labels(bm)
+        assert decode_beatmap(meta, labels, enc, snap_divisor=0) == decode_beatmap(
+            meta, labels, enc
+        )
