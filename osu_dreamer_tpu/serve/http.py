@@ -9,6 +9,10 @@ Endpoints (JSON errors, octet-stream results):
     ``sample_steps`` int, default 8
     ``style_guidance`` float, default 1.0
     ``seed``         int; seeded requests are never co-batched
+    ``infer_tempo``  0/1 — infer BPM/offset from the predicted onsets
+    ``snap_divisor`` int — snap hit times to 1/N of the inferred beat
+                     (implies tempo inference); both default to the
+                     service's CLI-configured values
     ``title`` / ``artist``  metadata strings
     ``name``         audio filename (drives the container demuxer and the
                      name stored inside the .osz), default "audio.wav"
@@ -91,6 +95,14 @@ def _make_handler(service: GeneratorService):
                     seed=int(one("seed")) if "seed" in q else None,
                     title=one("title"),
                     artist=one("artist"),
+                    infer_tempo=(
+                        one("infer_tempo").lower() in ("1", "true", "yes")
+                        if "infer_tempo" in q else None
+                    ),
+                    snap_divisor=(
+                        int(one("snap_divisor"))
+                        if "snap_divisor" in q else None
+                    ),
                 )
             except (ValueError, RuntimeError, TimeoutError) as e:
                 self._json(400, {"error": str(e)})

@@ -336,11 +336,16 @@ class GeneratorService:
         title: Optional[str] = None,
         artist: Optional[str] = None,
         timeout: Optional[float] = 600.0,
+        infer_tempo: Optional[bool] = None,
+        snap_divisor: Optional[int] = None,
     ) -> tuple[str, bytes]:
         """generate one mapset -> (suggested .osz filename, zip bytes).
 
         Blocking; safe to call from many threads. ``diffs`` is a list of
-        (sr, ar, od, cs, hp) rows — one .osu per row.
+        (sr, ar, od, cs, hp) rows — one .osu per row. ``infer_tempo`` /
+        ``snap_divisor`` override the service-level defaults per request
+        (None = use the default); they only affect the host-side decode, so
+        requests with different values still co-batch on device.
         """
         from osu_dreamer_tpu.audio import HOP_LEN, load_wave, prep_wave_for_model
         from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
@@ -353,6 +358,8 @@ class GeneratorService:
         )
         if diff_rows.ndim != 2 or diff_rows.shape[1] != 5:
             raise ValueError("each diff row must be (sr, ar, od, cs, hp)")
+        if snap_divisor is not None and snap_divisor < 0:
+            raise ValueError("snap_divisor must be >= 0")
 
         # host prep on the request thread (decode may need a real file path
         # for the container demuxer)
@@ -405,8 +412,9 @@ class GeneratorService:
             name = f"{artist} - {title} (osu!dreamer-tpu) [version {i}].osu"
             entries.append((name, decode_beatmap(
                 MapMetadata(audio_name, title, artist, f"version {i}"),
-                row, sig, infer_tempo=self.infer_tempo,
-                snap_divisor=self.snap_divisor,
+                row, sig,
+                infer_tempo=self.infer_tempo if infer_tempo is None else infer_tempo,
+                snap_divisor=self.snap_divisor if snap_divisor is None else snap_divisor,
             )))
 
         out = io.BytesIO()

@@ -259,6 +259,33 @@ class TestHTTP:
         text = _check_osz("x.osz", osz, 1, audio_name="song.wav")
         assert "Title: Net" in text
 
+    def test_generate_snap_divisor(self, server, tmp_path):
+        """per-request ?snap_divisor=4 (service default off): every emitted
+        hit time lands on the inferred timing point's quarter-beat grid"""
+        import urllib.request
+
+        audio = _wav_bytes(tmp_path, 2.0, freq=261.0)
+        url = self._url(
+            server, "/generate?sample_steps=2&seed=9&snap_divisor=4&name=s.wav"
+        )
+        req = urllib.request.Request(url, data=audio, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            osz = r.read()
+        text = _check_osz("x.osz", osz, 1, audio_name="s.wav")
+
+        tp0 = text.split("[TimingPoints]")[1].strip().splitlines()[0]
+        offset, beat_len = (float(v) for v in tp0.split(",")[:2])
+        tick = beat_len / 4.0
+        times = [
+            int(line.split(",")[2])
+            for line in text.split("[HitObjects]")[1].strip().splitlines()
+            if line
+        ]
+        for t in times:
+            k = round((t - offset) / tick)
+            assert abs(t - (offset + k * tick)) <= 1.0, (t, offset, tick)
+        assert all(b > a for a, b in zip(times, times[1:])), times
+
     def test_bad_requests(self, server):
         import json
         import urllib.error
@@ -283,3 +310,13 @@ class TestHTTP:
         with pytest.raises(urllib.error.HTTPError) as e:
             urllib.request.urlopen(req, timeout=10)
         assert e.value.code == 400
+
+        # negative snap divisor
+        req = urllib.request.Request(
+            self._url(server, "/generate?snap_divisor=-1"),
+            data=b"x" * 64, method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=10)
+        assert e.value.code == 400
+        assert "snap_divisor" in json.load(e.value)["error"]
