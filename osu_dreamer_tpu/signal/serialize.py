@@ -10,6 +10,7 @@ acknowledged gap in the reference too (TODO at decode.py:131).
 
 from __future__ import annotations
 
+import bisect
 import math
 import warnings
 from dataclasses import dataclass
@@ -49,7 +50,10 @@ def decode_beatmap(
 
     ``infer_tempo`` estimates the beat period/phase from the onset envelope
     (signal/tempo.py) instead of deriving the tempo from slider velocities —
-    capability beyond the reference, which leaves this as a TODO.
+    capability beyond the reference, which leaves this as a TODO. Tempo
+    CHANGES are handled: one uninherited timing point per inferred segment
+    (estimate_tempo_segments), and slider SVs are computed against their
+    own segment's beat length.
 
     ``snap_divisor > 0`` additionally snaps hit times onto 1/divisor of the
     inferred beat (4 = sixteenth notes), the editor convention ranked maps
@@ -64,22 +68,28 @@ def decode_beatmap(
     snap_divisor = int(snap_divisor)
     infer_tempo = bool(infer_tempo) or snap_divisor > 0
     if infer_tempo:
-        from .tempo import estimate_tempo
+        from .tempo import estimate_tempo_segments
 
-        tempo_beat_len, tempo_offset = estimate_tempo(
+        # [(start_ms, beat_len_ms, first_beat_offset_ms)], >= 1 segment
+        segments = estimate_tempo_segments(
             enc[Channel.ONSET], get_frame_times(enc.shape[1])
         )
+        seg_starts = [s for s, _, _ in segments]
+
+        def _seg(t: float) -> tuple[float, float, float]:
+            return segments[max(bisect.bisect_right(seg_starts, t) - 1, 0)]
 
     if snap_divisor > 0:
-        tick = tempo_beat_len / snap_divisor
 
         def snap(t: float, floor: int | None = None) -> int:
-            # nearest grid tick; `floor` rolls an early landing forward to
-            # the first tick at/after it
-            k = round((t - tempo_offset) / tick)
+            # nearest tick of the governing segment's grid; `floor` rolls an
+            # early landing forward to the first tick at/after it
+            _s, bl, off = _seg(t)
+            tick = bl / snap_divisor
+            k = round((t - off) / tick)
             if floor is not None:
-                k = max(k, math.ceil((floor - tempo_offset) / tick - 1e-9))
-            return int(round(tempo_offset + k * tick))
+                k = max(k, math.ceil((floor - off) / tick - 1e-9))
+            return int(round(off + k * tick))
     else:
 
         def snap(t: float, floor: int | None = None) -> int:
@@ -142,8 +152,12 @@ def decode_beatmap(
         slider_vels.append(length * num_slides / (end_t - t))
 
     if infer_tempo:
-        beat_len, offset = tempo_beat_len, tempo_offset
-        timing_lines = [f"{offset:.0f},{beat_len},4,0,0,50,1,0"]
+        uninherited = [
+            (off, 0, f"{off:.0f},{bl},4,0,0,50,1,0") for _s, bl, off in segments
+        ]
+
+        def beat_len_at(t: float) -> float:
+            return _seg(t)[1]
     else:
         # one global tempo chosen so slider SVs cluster around 1:
         # slide time = length / (slider_mult * 100 * SV) * beat_len with
@@ -154,13 +168,21 @@ def decode_beatmap(
         else:
             base_vel = 1.0
         beat_len = 100.0 / base_vel
-        timing_lines = [f"0,{beat_len},4,0,0,50,1,0"]
+        uninherited = [(0.0, 0, f"0,{beat_len},4,0,0,50,1,0")]
 
+        def beat_len_at(t: float) -> float:
+            return beat_len
+
+    inherited = []
     for t, vel in zip(slider_times, slider_vels):
-        sv = vel * beat_len / 100.0
+        sv = vel * beat_len_at(t) / 100.0
         if not 0.1 <= sv <= 10.0:
             warnings.warn(f"slider SV {sv:.3f} outside [0.1, 10]; slider may render wrong")
-        timing_lines.append(f"{t},{-100.0 / sv},4,0,0,50,0,0")
+        inherited.append((float(t), 1, f"{t},{-100.0 / sv},4,0,0,50,0,0"))
+
+    # the parser is a sequential state machine: lines must be time-sorted,
+    # uninherited first on ties (an inherited line needs a governing tempo)
+    timing_lines = [line for _t, _k, line in sorted(uninherited + inherited)]
 
     sections = f"""osu file format v14
 

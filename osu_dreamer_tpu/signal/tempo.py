@@ -23,15 +23,13 @@ MAX_BPM = 300.0
 PREFERRED_LO, PREFERRED_HI = 120.0, 220.0
 
 
-def estimate_tempo(
-    onsets: np.ndarray, frame_times: np.ndarray
-) -> tuple[float, float]:
-    """onset envelope (L,) in [0,1] + frame times (ms) -> (beat_length_ms,
-    offset_ms of the first beat)"""
-    if len(frame_times) < 8 or onsets.max() <= 0:
-        return 500.0, 0.0
+def _comb_beat_len(onsets: np.ndarray, frame_ms: float) -> float | None:
+    """comb-autocorrelation beat length (ms) of an onset envelope, octave-
+    shifted into the playable BPM range; None when the span is too short or
+    silent"""
+    if len(onsets) < 8 or onsets.max() <= 0:
+        return None
 
-    frame_ms = float(frame_times[1] - frame_times[0])
     env = onsets.astype(np.float64)
     env = env - env.mean()
     env = np.maximum(env, 0.0)
@@ -40,7 +38,7 @@ def estimate_tempo(
     min_period = max(2, int(60000.0 / MAX_BPM / frame_ms))
     max_period = min(len(env) // 4, int(60000.0 / MIN_BPM / frame_ms))
     if max_period <= min_period:
-        return 500.0, 0.0
+        return None
 
     # autocorrelation via FFT (comb base score)
     n = int(2 ** np.ceil(np.log2(2 * len(env))))
@@ -72,6 +70,24 @@ def estimate_tempo(
         beat_len *= 2.0
     while 60000.0 / beat_len < MIN_BPM:
         beat_len /= 2.0
+    return beat_len
+
+
+def estimate_tempo(
+    onsets: np.ndarray, frame_times: np.ndarray
+) -> tuple[float, float]:
+    """onset envelope (L,) in [0,1] + frame times (ms) -> (beat_length_ms,
+    offset_ms of the first beat)"""
+    if len(frame_times) < 8:
+        return 500.0, 0.0
+    frame_ms = float(frame_times[1] - frame_times[0])
+    beat_len = _comb_beat_len(onsets, frame_ms)
+    if beat_len is None:
+        return 500.0, 0.0
+
+    env = onsets.astype(np.float64)
+    env = env - env.mean()
+    env = np.maximum(env, 0.0)
 
     # joint sub-frame refinement of period x phase: an integer-frame period
     # is off by up to half a frame (~3 ms), which drifts by whole beats over
@@ -94,3 +110,90 @@ def estimate_tempo(
             best_mass, best_p, best_offset = float(masses[k]), float(p), float(phases[k])
 
     return best_p * frame_ms, best_offset * frame_ms
+
+
+def estimate_tempo_segments(
+    onsets: np.ndarray,
+    frame_times: np.ndarray,
+    window_s: float = 20.0,
+) -> list[tuple[float, float, float]]:
+    """variable-BPM tempo inference -> [(start_ms, beat_length_ms,
+    first_beat_offset_ms)], ordered by start; a constant-tempo song yields
+    one segment identical to ``estimate_tempo``.
+
+    Method: comb tempo per overlapping window (window_s, hop window_s/2),
+    group consecutive windows whose beat lengths agree within ~4%%, then
+    re-run the full sub-frame period x phase refinement on each group's
+    span. Adjacent groups whose refined beat lengths agree within 1%% are
+    re-merged (a transient grouping split, not a tempo change). Songs
+    shorter than two windows skip segmentation entirely.
+    """
+    L = len(frame_times)
+    if L < 8 or onsets.max() <= 0:
+        return [(0.0, 500.0, 0.0)]
+    frame_ms = float(frame_times[1] - frame_times[0])
+    win = int(window_s * 1000.0 / frame_ms)
+    if L < 2 * win:
+        bl, off = estimate_tempo(onsets, frame_times)
+        return [(0.0, bl, off)]
+
+    hop = win // 2
+    starts = list(range(0, L - win + 1, hop))
+    if starts[-1] + win < L:
+        starts.append(L - win)
+
+    # per-window comb tempo; silent/short windows inherit their neighbor
+    window_bls: list[float | None] = [
+        _comb_beat_len(onsets[s : s + win], frame_ms) for s in starts
+    ]
+
+    # group consecutive windows with agreeing tempo (octave-normalized:
+    # a half/double comb pick within a window is not a tempo change)
+    def _same(a: float, b: float) -> bool:
+        r = a / b
+        while r < 0.75:
+            r *= 2.0
+        while r > 1.5:
+            r /= 2.0
+        return bool(abs(np.log(r)) < 0.04)
+
+    groups: list[list[int]] = []  # window indices
+    anchor: float | None = None
+    for i, bl in enumerate(window_bls):
+        if bl is None or (anchor is not None and _same(bl, anchor)):
+            if not groups:
+                groups.append([])
+            groups[-1].append(i)
+            continue
+        groups.append([i])
+        anchor = bl
+
+    def _refine(f0: int, f1: int) -> tuple[float, float]:
+        bl, off = estimate_tempo(
+            onsets[f0:f1], frame_times[f0:f1] - frame_times[f0]
+        )
+        return bl, off + float(frame_times[f0])
+
+    # frame span of each group: from its first window's start to the next
+    # group's first window's start
+    spans: list[tuple[int, int]] = []
+    for gi, g in enumerate(groups):
+        f0 = starts[g[0]] if gi > 0 else 0
+        f1 = starts[groups[gi + 1][0]] if gi + 1 < len(groups) else L
+        spans.append((f0, f1))
+
+    # refine each span; merge neighbors whose refined tempo agrees
+    segments: list[tuple[int, int, float, float]] = []
+    for f0, f1 in spans:
+        bl, off = _refine(f0, f1)
+        if segments and abs(segments[-1][2] - bl) / bl < 0.01:
+            m0 = segments.pop()[0]
+            bl, off = _refine(m0, f1)
+            segments.append((m0, f1, bl, off))
+        else:
+            segments.append((f0, f1, bl, off))
+
+    return [
+        (float(frame_times[f0]) if i else 0.0, bl, off)
+        for i, (f0, _f1, bl, off) in enumerate(segments)
+    ]

@@ -289,3 +289,142 @@ class TestBeatSnap:
         assert decode_beatmap(meta, labels, enc, snap_divisor=0) == decode_beatmap(
             meta, labels, enc
         )
+
+
+class TestVariableTempo:
+    """multi-segment tempo inference (signal/tempo.py
+    estimate_tempo_segments) and its decode_beatmap wiring"""
+
+    def _env(self, sections, total_ms):
+        """sections: [(start_ms, end_ms, beat_ms)] -> onset envelope"""
+        from osu_dreamer_tpu.audio import get_frame_times
+        from osu_dreamer_tpu.signal.hits import events_signal
+
+        ft = get_frame_times(int(total_ms / 6) + 1)
+        ts = [
+            t for s, e, beat in sections for t in np.arange(s, e, beat)
+        ]
+        return events_signal(ts, ft), ft
+
+    @staticmethod
+    def _octave_match(bpm, true_bpm, tol=0.03):
+        return any(
+            abs(bpm - true_bpm * m) / (true_bpm * m) < tol
+            for m in (0.25, 0.5, 1.0, 2.0, 4.0)
+        )
+
+    def test_constant_tempo_single_segment(self):
+        from osu_dreamer_tpu.signal.tempo import estimate_tempo, estimate_tempo_segments
+
+        env, ft = self._env([(500, 90000, 500.0)], 90000)
+        segs = estimate_tempo_segments(env, ft)
+        assert len(segs) == 1
+        assert segs[0][0] == 0.0
+        bl, off = estimate_tempo(env, ft)
+        # single segment == the whole-song estimate
+        assert segs[0][1] == pytest.approx(bl)
+        assert segs[0][2] == pytest.approx(off)
+
+    def test_detects_tempo_change(self):
+        from osu_dreamer_tpu.signal.tempo import estimate_tempo_segments
+
+        env, ft = self._env(
+            [(500, 60000, 500.0), (60000, 119000, 375.0)], 120000
+        )
+        segs = estimate_tempo_segments(env, ft)
+        assert len(segs) == 2, segs
+        assert self._octave_match(60000 / segs[0][1], 120.0), segs
+        assert self._octave_match(60000 / segs[1][1], 160.0), segs
+        # boundary within one analysis window of the true change
+        assert abs(segs[1][0] - 60000) < 21000, segs
+
+    def test_decode_emits_multiple_timing_points(self):
+        from osu_dreamer_tpu.audio import get_frame_for_time, get_frame_times
+        from osu_dreamer_tpu.osu import Beatmap
+        from osu_dreamer_tpu.signal import (
+            MapMetadata, cursor_signal, decode_beatmap, get_labels, hit_signal,
+        )
+
+        hits = "\n".join(
+            f"{100 + (i % 8) * 40},{100 + (i % 5) * 40},{int(t)},1,0,0:0:0:0:"
+            for i, t in enumerate(
+                list(np.arange(1000.0, 60000.0, 500.0))
+                + list(np.arange(60000.0, 118000.0, 375.0))
+            )
+        )
+        osu = (
+            "osu file format v14\n\n[General]\nAudioFilename: a.mp3\nMode: 0\n\n"
+            "[Metadata]\nTitle: t\nArtist: a\nCreator: c\nVersion: v\n\n"
+            "[Difficulty]\nHPDrainRate: 5\nCircleSize: 4\nOverallDifficulty: 5\n"
+            "ApproachRate: 5\nSliderMultiplier: 1\nSliderTickRate: 1\n\n"
+            "[TimingPoints]\n1000,500,4,0,0,50,1,0\n60000,375,4,0,0,50,1,0\n\n"
+            "[HitObjects]\n" + hits
+        )
+        bm = Beatmap(osu)
+        end = max(o.end_time() for o in bm.hit_objects) + 1000
+        ft = get_frame_times(get_frame_for_time(end))
+        enc = np.concatenate([hit_signal(bm, ft), cursor_signal(bm, ft)])
+        text = decode_beatmap(
+            MapMetadata("a.mp3", "T", "A"), get_labels(bm), enc, infer_tempo=True
+        )
+        rec = Beatmap(text)
+        tps = rec.uninherited_timing_points()
+        assert len(tps) == 2, [(tp.t, tp.beat_length) for tp in tps]
+        assert self._octave_match(60000 / tps[0].beat_length, 120.0)
+        assert self._octave_match(60000 / tps[1].beat_length, 160.0)
+        # timing points sorted (the parser bisects); objects intact
+        assert [tp.t for tp in rec.timing_points] == sorted(
+            tp.t for tp in rec.timing_points
+        )
+        assert len(rec.hit_objects) == len(bm.hit_objects)
+
+    def test_snap_follows_segment_grid(self):
+        """snapping a 2-tempo song: every hit lands on ITS segment's grid"""
+        from osu_dreamer_tpu.audio import get_frame_for_time, get_frame_times
+        from osu_dreamer_tpu.osu import Beatmap
+        from osu_dreamer_tpu.signal import (
+            MapMetadata, cursor_signal, decode_beatmap, get_labels, hit_signal,
+        )
+
+        hits = "\n".join(
+            f"{100 + (i % 8) * 40},{100 + (i % 5) * 40},{int(t)},1,0,0:0:0:0:"
+            for i, t in enumerate(
+                list(np.arange(1000.0, 60000.0, 500.0))
+                + list(np.arange(60000.0, 118000.0, 375.0))
+            )
+        )
+        osu = (
+            "osu file format v14\n\n[General]\nAudioFilename: a.mp3\nMode: 0\n\n"
+            "[Metadata]\nTitle: t\nArtist: a\nCreator: c\nVersion: v\n\n"
+            "[Difficulty]\nHPDrainRate: 5\nCircleSize: 4\nOverallDifficulty: 5\n"
+            "ApproachRate: 5\nSliderMultiplier: 1\nSliderTickRate: 1\n\n"
+            "[TimingPoints]\n1000,500,4,0,0,50,1,0\n60000,375,4,0,0,50,1,0\n\n"
+            "[HitObjects]\n" + hits
+        )
+        bm = Beatmap(osu)
+        end = max(o.end_time() for o in bm.hit_objects) + 1000
+        ft = get_frame_times(get_frame_for_time(end))
+        enc = np.concatenate([hit_signal(bm, ft), cursor_signal(bm, ft)])
+        text = decode_beatmap(
+            MapMetadata("a.mp3", "T", "A"), get_labels(bm), enc, snap_divisor=4
+        )
+        rec = Beatmap(text)
+        tps = rec.uninherited_timing_points()
+        assert len(tps) >= 2
+
+        def on_grid(t):
+            # grid of the governing segment
+            tp = max((p for p in tps if p.t <= t), key=lambda p: p.t, default=tps[0])
+            tick = tp.beat_length / 4.0
+            k = round((t - tp.t) / tick)
+            return abs(t - (tp.t + k * tick)) <= 1.0
+
+        # skip objects within one analysis window of the inferred boundary:
+        # their governing segment may differ from the emitting one
+        boundary = tps[1].t
+        checked = 0
+        for obj in rec.hit_objects:
+            if abs(obj.t - boundary) > 21000:
+                assert on_grid(obj.t), (obj.t, boundary)
+                checked += 1
+        assert checked > 100
