@@ -91,23 +91,65 @@ def estimate_tempo(
 
     # joint sub-frame refinement of period x phase: an integer-frame period
     # is off by up to half a frame (~3 ms), which drifts by whole beats over
-    # a full song; search +-1 frame around the comb pick at 1/40-frame
+    # a full song; search +-1 frame around each candidate at 1/40-frame
     # resolution, scoring onset mass on the resulting beat grid
-    p0 = beat_len / frame_ms
-    best_p, best_offset, best_mass = p0, 0.0, -1.0
-    for p in np.linspace(p0 - 1.0, p0 + 1.0, 81):
-        if p < 2.0:
+    env_total = max(float(env.sum()), 1e-9)
+
+    def _refine_around(p0: float) -> tuple[float, float, float, float]:
+        """-> (coverage, mass, period, offset) of the best sub-frame
+        period x phase near p0; coverage = fraction of total onset mass the
+        grid's ticks capture, mass = mean env at the ticks"""
+        best_p, best_offset, best_mass = p0, 0.0, -1.0
+        for p in np.linspace(p0 - 1.0, p0 + 1.0, 81):
+            if p < 2.0:
+                continue
+            n_phase = max(16, int(2 * p))
+            phases = np.arange(n_phase) * (p / n_phase)
+            n_beats = int((len(env) - p) // p)
+            if n_beats < 1:
+                continue
+            idx = (phases[:, None] + np.arange(n_beats + 1)[None, :] * p).astype(int)
+            masses = env[np.minimum(idx, len(env) - 1)].mean(axis=1)
+            k = int(np.argmax(masses))
+            if masses[k] > best_mass:
+                best_mass, best_p, best_offset = (
+                    float(masses[k]), float(p), float(phases[k])
+                )
+        if best_mass < 0:
+            return -1.0, -1.0, p0, 0.0
+        ticks = np.unique(
+            (best_offset + np.arange(int((len(env) - 1 - best_offset) // best_p) + 1)
+             * best_p).astype(int)
+        )
+        coverage = float(env[np.minimum(ticks, len(env) - 1)].sum()) / env_total
+        return coverage, best_mass, best_p, best_offset
+
+    # the comb's quantization to whole frames can land an octave off (a
+    # half-tempo grid scores the same mean mass when every tick still hits
+    # an onset): refine all in-range octaves of the pick and choose by
+    # onset coverage first (a half-tempo grid captures only half the
+    # onsets), then tick mass (a double-tempo grid halves it with empty
+    # ticks), then the typical ranked-map band
+    p_pick = beat_len / frame_ms
+    cands = []
+    for mult in (0.5, 1.0, 2.0):
+        p0 = p_pick * mult
+        bpm0 = 60000.0 / (p0 * frame_ms)
+        if not (MIN_BPM - 1e-9 <= bpm0 <= MAX_BPM + 1e-9):
             continue
-        n_phase = max(16, int(2 * p))
-        phases = np.arange(n_phase) * (p / n_phase)
-        n_beats = int((len(env) - p) // p)
-        if n_beats < 1:
+        cov, mass, p, off = _refine_around(p0)
+        if mass < 0:
             continue
-        idx = (phases[:, None] + np.arange(n_beats + 1)[None, :] * p).astype(int)
-        masses = env[np.minimum(idx, len(env) - 1)].mean(axis=1)
-        k = int(np.argmax(masses))
-        if masses[k] > best_mass:
-            best_mass, best_p, best_offset = float(masses[k]), float(p), float(phases[k])
+        in_band = PREFERRED_LO <= 60000.0 / (p * frame_ms) <= PREFERRED_HI
+        cands.append((cov, mass, in_band, p, off))
+    if not cands:
+        return 500.0, 0.0
+    top_cov = max(c[0] for c in cands)
+    good = [c for c in cands if c[0] >= 0.95 * top_cov]
+    top_mass = max(c[1] for c in good)
+    good = [c for c in good if c[1] >= 0.95 * top_mass]
+    best = sorted(good, key=lambda c: (not c[2], -c[1]))[0]
+    _cov, _mass, _in_band, best_p, best_offset = best
 
     return best_p * frame_ms, best_offset * frame_ms
 

@@ -428,3 +428,18 @@ class TestVariableTempo:
                 assert on_grid(obj.t), (obj.t, boundary)
                 checked += 1
         assert checked > 100
+
+
+    def test_true_octave_preferred(self):
+        """clean click tracks recover the TRUE tempo, not a half/double
+        octave (the comb's whole-frame quantization used to land 120 BPM
+        clicks on 60)"""
+        from osu_dreamer_tpu.audio import get_frame_times
+        from osu_dreamer_tpu.signal.hits import events_signal
+        from osu_dreamer_tpu.signal.tempo import estimate_tempo
+
+        ft = get_frame_times(int(60000 / 6) + 1)
+        for beat, true_bpm in ((500.0, 120.0), (375.0, 160.0), (345.0, 174.0)):
+            env = events_signal(list(np.arange(beat, 59000.0, beat)), ft)
+            bl, _ = estimate_tempo(env, ft)
+            assert abs(60000.0 / bl - true_bpm) < 2.0, (beat, 60000.0 / bl)
