@@ -152,6 +152,26 @@ def score_generated(gen_text: str, true_text: str, requested: tuple) -> dict:
     except Exception:
         pass  # strict parser can reject generated charts; sr then unscored
 
+    # tempo accuracy: the generated map's first uninherited timing point
+    # (predict --infer-tempo) vs the synth map's known BPM, octave-
+    # normalized (half/double grids carry the same rhythmic information)
+    def _first_beat_len(text: str) -> float | None:
+        for line in text.split("[TimingPoints]")[1].split("[")[0].splitlines():
+            parts = line.strip().split(",")
+            if len(parts) >= 2 and float(parts[1]) > 0:
+                return float(parts[1])
+        return None
+
+    true_bl, gen_bl = _first_beat_len(true_text), _first_beat_len(gen_text)
+    if true_bl and gen_bl:
+        r = gen_bl / true_bl
+        while r < 0.75:
+            r *= 2.0
+        while r > 1.5:
+            r /= 2.0
+        out["bpm_rel_err"] = abs(r - 1.0)
+        out["bpm_octave_exact"] = float(abs(gen_bl / true_bl - 1.0) < 0.02)
+
     # cursor plausibility (circles + slider heads carry positions)
     pos = np.array([[o["x"], o["y"]] for o in gen if o["kind"] != "spinner"])
     tpos = np.array([[o["x"], o["y"]] for o in true if o["kind"] != "spinner"])
@@ -332,7 +352,8 @@ def main() -> None:
         try:
             cli("predict", "--model-path", str(artifact), "--audio-file", str(wav),
                 "--diff", *(str(v) for v in REQUESTED),
-                "--sample-steps", str(args.sample_steps), "--seed", str(k))
+                "--sample-steps", str(args.sample_steps), "--seed", str(k),
+                "--infer-tempo")
         finally:
             os.chdir(cwd)
         osz = max(gen_dir.glob("*.osz"), key=lambda p: p.stat().st_mtime)

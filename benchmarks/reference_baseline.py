@@ -159,7 +159,9 @@ rng = np.random.default_rng(0)
 t = np.arange(%(seconds)d * SR) / SR
 wave = (0.4 * np.sin(2 * np.pi * 220 * t) + 0.05 * rng.normal(size=t.shape)).astype(np.float32)
 args = LDMArgs()
-model = LDM(args)
+# fp32 on CPU (matches load_inference's backend-aware dtype: XLA:CPU
+# emulates bf16 matmuls ~1.4x slower)
+model = LDM(args, dtype=jnp.float32)
 chunk = args.latent.chunk_size
 buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
 labels = jnp.asarray([[5.0, 9.0, 8.0, 4.0, 6.0]], jnp.float32)
@@ -182,7 +184,33 @@ for i in range(%(runs)d):
                       jax.random.PRNGKey(i + 1))
     jax.block_until_ready(out)
     times.append(time.time() - t0)
-print(json.dumps({"runs_s": times, "per_map_s": float(np.median(times))}))
+
+# featurizer-EXCLUDED variant: precompute the spec once and time only the
+# 3-stage sampler — the exact analog of the reference measurement, which
+# feeds model.sample a precomputed random spec (its Rust featurizer cannot
+# run here)
+spec = jax.jit(
+    lambda w, rf: spec_for_model_jax(w, rf, n_frames, out_frames)
+)(wave_dev, real_frames)
+jax.block_until_ready(spec)
+
+@jax.jit
+def sample_spec(p, sp, lb, k):
+    return model.apply(p, sp, lb, k, %(steps)d)
+
+out = sample_spec(params, spec, labels, key)
+jax.block_until_ready(out)
+times_model = []
+for i in range(%(runs)d):
+    t0 = time.time()
+    out = sample_spec(params, spec, labels, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(out)
+    times_model.append(time.time() - t0)
+print(json.dumps({
+    "runs_s": times, "per_map_s": float(np.median(times)),
+    "model_only_runs_s": times_model,
+    "model_only_per_map_s": float(np.median(times_model)),
+}))
 """
 
 
@@ -211,8 +239,10 @@ def measure_ours_cpu() -> dict:
         raise RuntimeError("our-CPU measurement failed")
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     out["maps_per_min"] = 60.0 / out["per_map_s"]
+    out["model_only_maps_per_min"] = 60.0 / out["model_only_per_map_s"]
     log(f"ours (CPU) per-map: {[round(t, 2) for t in out['runs_s']]} "
-        f"-> median {out['per_map_s']:.2f}s")
+        f"-> median {out['per_map_s']:.2f}s; model-only "
+        f"{out['model_only_per_map_s']:.2f}s")
     return out
 
 
@@ -223,11 +253,15 @@ def main() -> None:
         "methodology": (
             "Reference torch LDM (full model.yml config, random weights, "
             f"random {A_DIM}-bin spec, featurizer excluded) vs our JAX "
-            "pipeline (random weights, featurizer INCLUDED), both on this "
-            f"host's CPU: {SONG_SECONDS}s song, {NUM_STEPS} diffusion steps, "
-            f"median of {N_RUNS} steady-state runs. The reference cannot run "
-            "on TPU (CUDA/torch); bench.py reports TPU-vs-CPU against "
-            "reference_cpu and CPU-vs-CPU as ours_cpu/reference_cpu."
+            "pipeline (random weights), both on this host's CPU: "
+            f"{SONG_SECONDS}s song, {NUM_STEPS} diffusion steps, median of "
+            f"{N_RUNS} steady-state runs. ours_cpu carries two variants: "
+            "featurizer INCLUDED (whole pipeline) and model_only "
+            "(precomputed spec, the exact analog of the reference "
+            "measurement). cpu_vs_cpu_model_only is the apples-to-apples "
+            "ratio; cpu_vs_cpu keeps our featurizer in the numerator. The "
+            "reference cannot run on TPU (CUDA/torch); bench.py reports "
+            "TPU-vs-CPU against reference_cpu."
         ),
         "config": {
             "song_seconds": SONG_SECONDS,
@@ -238,6 +272,9 @@ def main() -> None:
         "reference_cpu": ref,
         "ours_cpu": ours,
         "cpu_vs_cpu": round(ours["maps_per_min"] / ref["maps_per_min"], 2),
+        "cpu_vs_cpu_model_only": round(
+            ours["model_only_maps_per_min"] / ref["maps_per_min"], 2
+        ),
     }
     OUT_PATH.write_text(json.dumps(result, indent=2) + "\n")
     log(f"wrote {OUT_PATH}")

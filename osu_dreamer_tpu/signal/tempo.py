@@ -16,6 +16,8 @@ the best, then octave-shifting into range.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 MIN_BPM = 60.0
@@ -234,6 +236,44 @@ def estimate_tempo_segments(
             segments.append((m0, f1, bl, off))
         else:
             segments.append((f0, f1, bl, off))
+
+    # changepoint search: window grouping places each boundary only to
+    # within a window; slide it to the cut that maximizes the onset mass
+    # the two grids jointly explain (left grid's ticks before the cut +
+    # right grid's ticks after), then re-refine both spans against it
+    for i in range(1, len(segments)):
+        lf0, _lf1, lbl, loff = segments[i - 1]
+        rf0, rf1, rbl, roff = segments[i]
+        lo = max(lf0 + hop, rf0 - win)
+        hi = min(rf1 - hop, rf0 + win)
+        if hi <= lo:
+            continue
+
+        def _ticks(bl: float, off: float) -> np.ndarray:
+            step = bl / frame_ms
+            first = off / frame_ms
+            ks = np.arange(
+                math.ceil((lo - first) / step), (hi - first) // step + 1
+            )
+            t = (first + ks * step).astype(int)
+            return t[(t >= lo) & (t < hi)]
+
+        lt, rt = _ticks(lbl, loff), _ticks(rbl, roff)
+        if len(lt) < 2 or len(rt) < 2:
+            continue
+        cuts = np.unique(np.concatenate([lt, rt, [lo, hi]]))
+        # mass(cut) = env at left ticks < cut + env at right ticks >= cut
+        lmass = np.concatenate([[0.0], np.cumsum(onsets[lt])])
+        rsum = float(onsets[rt].sum())
+        rmass = rsum - np.concatenate([[0.0], np.cumsum(onsets[rt])])
+        score = (
+            lmass[np.searchsorted(lt, cuts)]
+            + rmass[np.searchsorted(rt, cuts)]
+        )
+        cut = int(cuts[int(np.argmax(score))])
+        if cut != rf0:
+            segments[i - 1] = (lf0, cut, *_refine(lf0, cut))
+            segments[i] = (cut, rf1, *_refine(cut, rf1))
 
     return [
         (float(frame_times[f0]) if i else 0.0, bl, off)

@@ -335,8 +335,8 @@ class TestVariableTempo:
         assert len(segs) == 2, segs
         assert self._octave_match(60000 / segs[0][1], 120.0), segs
         assert self._octave_match(60000 / segs[1][1], 160.0), segs
-        # boundary within one analysis window of the true change
-        assert abs(segs[1][0] - 60000) < 21000, segs
+        # changepoint search places the boundary within ~2 beats
+        assert abs(segs[1][0] - 60000) < 1500, segs
 
     def test_decode_emits_multiple_timing_points(self):
         from osu_dreamer_tpu.audio import get_frame_for_time, get_frame_times
@@ -419,15 +419,15 @@ class TestVariableTempo:
             k = round((t - tp.t) / tick)
             return abs(t - (tp.t + k * tick)) <= 1.0
 
-        # skip objects within one analysis window of the inferred boundary:
-        # their governing segment may differ from the emitting one
+        # skip objects within ~2 beats of the inferred boundary: their
+        # governing segment may differ from the emitting one
         boundary = tps[1].t
         checked = 0
         for obj in rec.hit_objects:
-            if abs(obj.t - boundary) > 21000:
+            if abs(obj.t - boundary) > 1500:
                 assert on_grid(obj.t), (obj.t, boundary)
                 checked += 1
-        assert checked > 100
+        assert checked > 200
 
 
     def test_true_octave_preferred(self):
