@@ -74,10 +74,12 @@ def decode_beatmap(
         segments = estimate_tempo_segments(
             enc[Channel.ONSET], get_frame_times(enc.shape[1])
         )
-        seg_starts = [s for s, _, _ in segments]
+        # governance switches at the EMITTED timing point (off), matching
+        # the osu! editor: a tick of segment i never predates its TP line
+        seg_offs = [off for _s, _bl, off in segments]
 
         def _seg(t: float) -> tuple[float, float, float]:
-            return segments[max(bisect.bisect_right(seg_starts, t) - 1, 0)]
+            return segments[max(bisect.bisect_right(seg_offs, t) - 1, 0)]
 
     if snap_divisor > 0:
 
