@@ -125,6 +125,13 @@ class TestArtifact:
         np.testing.assert_array_equal(
             restored["params"]["diffusion"]["w"], np.arange(4, dtype=np.float32)
         )
+        # backend-aware compute dtype: fp32 on the CPU backend (XLA:CPU
+        # emulates bf16 matmuls ~1.4x slower); bf16 on accelerators
+        import jax
+        import jax.numpy as jnp
+
+        expected = jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+        assert model.dtype == expected
 
 
 class TestPipeline:
