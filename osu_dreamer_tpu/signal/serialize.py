@@ -100,9 +100,10 @@ def decode_beatmap(
     frame_ms = get_frame_times(enc.shape[1]).round().astype(int)
     cursor = enc[[Channel.X, Channel.Y]] * PLAYFIELD
 
-    hit_lines: list[str] = []
+    # sliders render AFTER the tempo is known: the emitted pixel length must
+    # agree with the (clamped) SV so the parsed end time equals end_t
+    hit_lines: list[str | dict] = []
     break_lines: list[str] = []
-    slider_times: list[int] = []
     slider_vels: list[float] = []
     prev_end: int | None = None
     prev_t = -(10**9)
@@ -145,12 +146,12 @@ def decode_beatmap(
 
         head = ctrl_pts[0]
         path = "|".join(f"{x}:{y}" for x, y in ctrl_pts[1:])
-        hit_lines.append(
-            f"{head[0]},{head[1]},{t},{(1 << 1) + combo_bit},{sound},"
-            f"{curve_type}|{path},{num_slides},{length}"
-        )
+        hit_lines.append({
+            "prefix": f"{head[0]},{head[1]},{t},{(1 << 1) + combo_bit},{sound},"
+                      f"{curve_type}|{path},{num_slides},",
+            "t": t, "end_t": end_t, "slides": num_slides, "length": length,
+        })
         prev_end = end_t
-        slider_times.append(t)
         slider_vels.append(length * num_slides / (end_t - t))
 
     if infer_tempo:
@@ -175,12 +176,29 @@ def decode_beatmap(
         def beat_len_at(t: float) -> float:
             return beat_len
 
+    # render sliders: SV clamped to the format's [0.1, 10] and rounded UP to
+    # the parser's 3-decimal grid (both keep the parsed duration <= the
+    # intended end_t - t, preserving object monotonicity); the emitted pixel
+    # length is recomputed against the final SV so the end time is exact
     inherited = []
-    for t, vel in zip(slider_times, slider_vels):
-        sv = vel * beat_len_at(t) / 100.0
+    rendered: list[str] = []
+    for entry in hit_lines:
+        if isinstance(entry, str):
+            rendered.append(entry)
+            continue
+        t, end_t, slides = entry["t"], entry["end_t"], entry["slides"]
+        bl = beat_len_at(t)
+        sv = entry["length"] * slides / (end_t - t) * bl / 100.0
         if not 0.1 <= sv <= 10.0:
-            warnings.warn(f"slider SV {sv:.3f} outside [0.1, 10]; slider may render wrong")
+            warnings.warn(
+                f"slider SV {sv:.3f} outside [0.1, 10]; clamping and "
+                "rescaling the played length to keep the end time"
+            )
+        sv = math.ceil(min(max(sv, 0.1), 10.0) * 1000.0) / 1000.0
+        length = sv * 100.0 / bl * (end_t - t) / slides
+        rendered.append(entry["prefix"] + f"{length}")
         inherited.append((float(t), 1, f"{t},{-100.0 / sv},4,0,0,50,0,0"))
+    hit_lines = rendered
 
     # the parser is a sequential state machine: lines must be time-sorted,
     # uninherited first on ties (an inherited line needs a governing tempo)

@@ -305,3 +305,40 @@ class TestSerializerDegenerateInputs:
 
     def test_tiny_signal(self):
         assert self._decode(np.zeros((9, 10), np.float32))
+
+
+class TestSerializerFuzz:
+    """randomized signals through every serializer mode: the output must
+    always be writable and, when objects exist, reparseable — snapping
+    guarantees monotonic starts regardless of input"""
+
+    @pytest.mark.parametrize("mode", [
+        {}, {"infer_tempo": True}, {"snap_divisor": 4}, {"snap_divisor": 1},
+    ])
+    def test_random_signals_always_serialize(self, mode):
+        from osu_dreamer_tpu.signal.serialize import MapMetadata
+
+        meta = MapMetadata(**{f: "t" for f in MapMetadata.__dataclass_fields__})
+        labels = np.array([3.0, 9, 8, 4, 5])
+        for seed in range(12):
+            rng = np.random.default_rng(seed)
+            L = int(rng.integers(50, 4000))
+            sig = rng.random((9, L), np.float32)
+            # shape the channels like a (bad) model: smooth-ish bumps
+            k = np.ones(3) / 3
+            for c in range(7):
+                sig[c] = np.convolve(sig[c] ** 3, k, mode="same")
+            text = decode_beatmap(meta, labels, sig, **mode)
+            lines = [
+                l for l in text.split("[HitObjects]")[1].strip().splitlines() if l
+            ]
+            if not lines:
+                continue
+            if mode.get("snap_divisor"):
+                # snapped outputs must reparse: monotonic, ends after starts
+                Beatmap(text)
+            ts = [int(l.split(",")[2]) for l in lines]
+            if mode.get("snap_divisor"):
+                assert all(b > a for a, b in zip(ts, ts[1:])), (mode, seed)
+            else:
+                assert all(b >= a for a, b in zip(ts, ts[1:])), (mode, seed)
