@@ -155,22 +155,29 @@ def score_generated(gen_text: str, true_text: str, requested: tuple) -> dict:
     # tempo accuracy: the generated map's first uninherited timing point
     # (predict --infer-tempo) vs the synth map's known BPM, octave-
     # normalized (half/double grids carry the same rhythmic information)
-    def _first_beat_len(text: str) -> float | None:
-        for line in text.split("[TimingPoints]")[1].split("[")[0].splitlines():
-            parts = line.strip().split(",")
-            if len(parts) >= 2 and float(parts[1]) > 0:
-                return float(parts[1])
-        return None
+    def _beat_lens(text: str) -> list[float]:
+        return [
+            float(parts[1])
+            for line in text.split("[TimingPoints]")[1].split("[")[0].splitlines()
+            if len(parts := line.strip().split(",")) >= 2 and float(parts[1]) > 0
+        ]
 
-    true_bl, gen_bl = _first_beat_len(true_text), _first_beat_len(gen_text)
-    if true_bl and gen_bl:
+    def _rel_err(gen_bl: float, true_bl: float) -> float:
         r = gen_bl / true_bl
         while r < 0.75:
             r *= 2.0
         while r > 1.5:
             r /= 2.0
-        out["bpm_rel_err"] = abs(r - 1.0)
-        out["bpm_octave_exact"] = float(abs(gen_bl / true_bl - 1.0) < 0.02)
+        return abs(r - 1.0)
+
+    true_bls, gen_bls = _beat_lens(true_text), _beat_lens(gen_text)
+    if true_bls and gen_bls:
+        out["bpm_rel_err"] = _rel_err(gen_bls[0], true_bls[0])
+        out["bpm_octave_exact"] = float(abs(gen_bls[0] / true_bls[0] - 1.0) < 0.02)
+        out["tempo_segments_true"] = float(len(true_bls))
+        out["tempo_segments_gen"] = float(len(gen_bls))
+        if len(true_bls) > 1 and len(gen_bls) > 1:
+            out["bpm2_rel_err"] = _rel_err(gen_bls[-1], true_bls[-1])
 
     # cursor plausibility (circles + slider heads carry positions)
     pos = np.array([[o["x"], o["y"]] for o in gen if o["kind"] != "spinner"])
@@ -206,6 +213,11 @@ def main() -> None:
     ap.add_argument("--style-batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--holdout-songs", type=int, default=2)
+    ap.add_argument(
+        "--tempo-change-holdouts", action="store_true",
+        help="make holdout songs variable-BPM (a second tempo section) to "
+        "score segmented tempo inference end-to-end",
+    )
     ap.add_argument(
         "--reuse", action="store_true",
         help="skip stages whose best checkpoint already exists in --outdir. "
@@ -344,7 +356,10 @@ def main() -> None:
     gen_dir.mkdir(exist_ok=True)
 
     for k in range(args.holdout_songs):
-        texts, wave, true_onsets = make_mapset(rng, seconds=args.seconds)
+        texts, wave, true_onsets = make_mapset(
+            rng, seconds=args.seconds,
+            tempo_change=args.tempo_change_holdouts,
+        )
         wav = gen_dir / f"holdout{k}.wav"
         write_wav(wav, wave)
         cwd = os.getcwd()

@@ -31,15 +31,16 @@ def _osu_text(
     title: str,
     version: str,
     audio_name: str,
-    bpm: float,
-    offset_ms: float,
+    timing: list[tuple[float, float]],  # (offset_ms, bpm) per tempo section
     ar: float,
     cs: float,
     od: float,
     hp: float,
     slider_mult: float,
 ) -> str:
-    beat_len = 60_000.0 / bpm
+    tp_lines = "\n".join(
+        f"{off:.0f},{60_000.0 / bpm},4,2,0,60,1,0" for off, bpm in timing
+    )
     return (
         "osu file format v14\n\n"
         f"[General]\nAudioFilename: {audio_name}\nMode: 0\n\n"
@@ -48,7 +49,7 @@ def _osu_text(
         f"[Difficulty]\nHPDrainRate: {hp}\nCircleSize: {cs}\n"
         f"OverallDifficulty: {od}\nApproachRate: {ar}\n"
         f"SliderMultiplier: {slider_mult}\nSliderTickRate: 1\n\n"
-        f"[TimingPoints]\n{offset_ms:.0f},{beat_len},4,2,0,60,1,0\n\n"
+        f"[TimingPoints]\n{tp_lines}\n\n"
         "[HitObjects]\n" + "\n".join(objs) + "\n"
     )
 
@@ -57,28 +58,52 @@ def make_mapset(
     rng: np.random.Generator,
     seconds: float = 60.0,
     n_difficulties: int = DIFFS_PER_MAPSET,
+    tempo_change: bool = False,
 ) -> tuple[list[str], np.ndarray, np.ndarray]:
     """-> (.osu texts, mono wave at SR, onset times in ms of the densest
     difficulty). The densest difficulty (d0) realizes the rhythm grid; the
     others place objects only at a SUBSET of d0's onsets (thinned, subject
     to their own slider/spinner occupancy) and use easier difficulty
     settings — the same structure as a real mapset, and it guarantees every
-    chart's hit times have a click in the shared audio."""
+    chart's hit times have a click in the shared audio.
+
+    ``tempo_change`` makes the song VARIABLE-BPM: a second tempo section
+    (non-octave ratio of the first) starts 40-60% in, with its own
+    uninherited timing point — for exercising segmented tempo inference
+    end-to-end."""
     bpm = float(rng.uniform(120, 200))
-    beat_len = 60_000.0 / bpm
     offset = float(rng.uniform(400, 900))
     end_ms = seconds * 1000.0 - 2000.0
 
+    # tempo sections: [(start_ms, first_beat_ms, bpm)]
+    if tempo_change:
+        ratio = float(rng.choice([0.75, 0.8, 1.25, 4.0 / 3.0]))
+        bpm2 = float(np.clip(bpm * ratio, 100.0, 240.0))
+        change = end_ms * float(rng.uniform(0.4, 0.6))
+        sections = [(offset, offset, bpm), (change, change, bpm2)]
+    else:
+        sections = [(offset, offset, bpm)]
+
     # rhythm grid: each beat hits w.p. .8, half-beats w.p. .25
     grid: list[float] = []
-    t = offset
-    while t < end_ms:
-        if rng.random() < 0.8:
-            grid.append(t)
-        if rng.random() < 0.25:
-            grid.append(t + beat_len / 2)
-        t += beat_len
+    for si, (start, first_beat, sec_bpm) in enumerate(sections):
+        sec_end = sections[si + 1][0] if si + 1 < len(sections) else end_ms
+        sec_beat = 60_000.0 / sec_bpm
+        t = first_beat
+        while t < sec_end:
+            if rng.random() < 0.8:
+                grid.append(t)
+            if rng.random() < 0.25 and t + sec_beat / 2 < sec_end:
+                grid.append(t + sec_beat / 2)
+            t += sec_beat
     grid.sort()
+
+    def beat_len_at(tq: float) -> float:
+        sec = max(
+            (s for s in sections if s[0] <= tq), key=lambda s: s[0],
+            default=sections[0],
+        )
+        return 60_000.0 / sec[2]
 
     texts = []
     all_onsets: list[float] = []
@@ -106,6 +131,7 @@ def make_mapset(
             x, y = int(pos[0]), int(pos[1])
             new_combo = 4 if combo % 8 == 0 else 0
             combo += 1
+            beat_len = beat_len_at(tg)
             r = rng.random()
             if r < 0.65:  # circle
                 objs.append(f"{x},{y},{tg:.0f},{1 + new_combo},0,0:0:0:0:")
@@ -135,8 +161,7 @@ def make_mapset(
                 title=f"synth{rng.integers(1 << 30)}",
                 version=f"v{d}",
                 audio_name="audio.wav",
-                bpm=bpm,
-                offset_ms=offset,
+                timing=[(first_beat, sec_bpm) for _s, first_beat, sec_bpm in sections],
                 ar=float(np.clip(9.5 - 1.2 * d, 0, 10)),
                 cs=4.0,
                 od=float(np.clip(8.0 - d, 0, 10)),
@@ -145,15 +170,14 @@ def make_mapset(
             )
         )
 
-    wave = _render_audio(rng, seconds, bpm, offset, np.asarray(all_onsets))
+    wave = _render_audio(rng, seconds, sections, np.asarray(all_onsets))
     return texts, wave, np.asarray(all_onsets)
 
 
 def _render_audio(
     rng: np.random.Generator,
     seconds: float,
-    bpm: float,
-    offset_ms: float,
+    sections: list[tuple[float, float, float]],  # (start, first_beat, bpm)
     onsets_ms: np.ndarray,
 ) -> np.ndarray:
     """percussive click at every onset + bass thump per measure + a slowly
@@ -187,17 +211,22 @@ def _render_audio(
         if 0 <= i < n - click_len:
             wave[i : i + click_len] += 0.8 * click
 
-    beat_len_s = 60.0 / bpm
     thump_len = int(0.08 * SR)
     thump = np.exp(-np.arange(thump_len) / (0.02 * SR)) * np.sin(
         2 * np.pi * 60.0 * np.arange(thump_len) / SR
     )
-    tm = offset_ms / 1000.0
-    while tm < seconds - 0.1:
-        i = int(tm * SR)
-        if i < n - thump_len:
-            wave[i : i + thump_len] += 0.4 * thump
-        tm += 4 * beat_len_s
+    for si, (_start, first_beat, bpm) in enumerate(sections):
+        sec_end_s = (
+            sections[si + 1][0] / 1000.0 if si + 1 < len(sections)
+            else seconds - 0.1
+        )
+        beat_len_s = 60.0 / bpm
+        tm = first_beat / 1000.0
+        while tm < sec_end_s:
+            i = int(tm * SR)
+            if i < n - thump_len:
+                wave[i : i + thump_len] += 0.4 * thump
+            tm += 4 * beat_len_s
 
     peak = np.abs(wave).max()
     return (wave / max(peak, 1e-6) * 0.8).astype(np.float32)

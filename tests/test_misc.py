@@ -443,3 +443,58 @@ class TestVariableTempo:
             env = events_signal(list(np.arange(beat, 59000.0, beat)), ft)
             bl, _ = estimate_tempo(env, ft)
             assert abs(60000.0 / bl - true_bpm) < 2.0, (beat, 60000.0 / bl)
+
+
+class TestVariableTempoSynth:
+    """data/synth.py tempo_change: variable-BPM mapsets for exercising
+    segmented tempo inference end-to-end"""
+
+    def test_two_sections_parse_and_align(self):
+        from osu_dreamer_tpu.data.synth import make_mapset
+        from osu_dreamer_tpu.osu import Beatmap
+
+        rng = np.random.default_rng(7)
+        texts, wave, onsets = make_mapset(rng, seconds=60.0, tempo_change=True)
+        assert len(wave) == 60 * 16384 and len(onsets) > 20
+        assert all(b > a for a, b in zip(onsets, onsets[1:]))
+        for text in texts:
+            bm = Beatmap(text)
+            tps = bm.uninherited_timing_points()
+            assert len(tps) == 2
+            bpm1, bpm2 = (60000.0 / tp.beat_length for tp in tps)
+            assert 100.0 <= bpm1 <= 240.0 and 100.0 <= bpm2 <= 240.0
+            ratio = bpm2 / bpm1
+            assert abs(ratio - 1.0) > 0.1, ratio  # a real change
+            # objects in each section land on that section's grid
+            for obj in bm.hit_objects:
+                tp = bm.timing_point_at(obj.t) or tps[0]
+                k = (obj.t - tp.t) / (tp.beat_length / 2.0)
+                assert abs(k - round(k)) < 0.05, (obj.t, tp.t, tp.beat_length)
+
+    def test_segments_recovered_from_signal(self):
+        """synth hit signal -> estimate_tempo_segments finds both sections"""
+        from osu_dreamer_tpu.audio import get_frame_times
+        from osu_dreamer_tpu.data.synth import make_mapset
+        from osu_dreamer_tpu.osu import Beatmap
+        from osu_dreamer_tpu.signal.hits import events_signal
+        from osu_dreamer_tpu.signal.tempo import estimate_tempo_segments
+
+        rng = np.random.default_rng(11)
+        texts, _wave, onsets = make_mapset(rng, seconds=120.0, tempo_change=True)
+        bm = Beatmap(texts[0])
+        tps = bm.uninherited_timing_points()
+        ft = get_frame_times(int(120000 / 6))
+        segs = estimate_tempo_segments(events_signal(list(onsets), ft), ft)
+        assert len(segs) == 2, segs
+
+        def octave_err(bl, true_bl):
+            r = bl / true_bl
+            while r < 0.75:
+                r *= 2.0
+            while r > 1.5:
+                r /= 2.0
+            return abs(r - 1.0)
+
+        assert octave_err(segs[0][1], tps[0].beat_length) < 0.03
+        assert octave_err(segs[1][1], tps[1].beat_length) < 0.03
+        assert abs(segs[1][0] - tps[1].t) < 3000, (segs, tps[1].t)
