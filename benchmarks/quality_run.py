@@ -162,13 +162,7 @@ def score_generated(gen_text: str, true_text: str, requested: tuple) -> dict:
             if len(parts := line.strip().split(",")) >= 2 and float(parts[1]) > 0
         ]
 
-    def _rel_err(gen_bl: float, true_bl: float) -> float:
-        r = gen_bl / true_bl
-        while r < 0.75:
-            r *= 2.0
-        while r > 1.5:
-            r /= 2.0
-        return abs(r - 1.0)
+    from osu_dreamer_tpu.signal.tempo import octave_ratio_error as _rel_err
 
     true_bls, gen_bls = _beat_lens(true_text), _beat_lens(gen_text)
     if true_bls and gen_bls:

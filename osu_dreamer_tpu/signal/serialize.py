@@ -70,28 +70,46 @@ def decode_beatmap(
     if infer_tempo:
         from .tempo import estimate_tempo_segments
 
-        # [(start_ms, beat_len_ms, first_beat_offset_ms)], >= 1 segment
-        segments = estimate_tempo_segments(
-            enc[Channel.ONSET], get_frame_times(enc.shape[1])
-        )
+        # [(start_ms, beat_len_ms, first_beat_offset_ms)], >= 1 segment;
+        # offsets quantized to whole ms HERE so the snap grid and the
+        # emitted `{off:.0f}` timing point are anchored identically
+        segments = [
+            (s, bl, float(round(off)))
+            for s, bl, off in estimate_tempo_segments(
+                enc[Channel.ONSET], get_frame_times(enc.shape[1])
+            )
+        ]
         # governance switches at the EMITTED timing point (off), matching
         # the osu! editor: a tick of segment i never predates its TP line
         seg_offs = [off for _s, _bl, off in segments]
 
+        def _seg_i(t: float) -> int:
+            return max(bisect.bisect_right(seg_offs, t) - 1, 0)
+
         def _seg(t: float) -> tuple[float, float, float]:
-            return segments[max(bisect.bisect_right(seg_offs, t) - 1, 0)]
+            return segments[_seg_i(t)]
 
     if snap_divisor > 0:
 
         def snap(t: float, floor: int | None = None) -> int:
             # nearest tick of the governing segment's grid; `floor` rolls an
-            # early landing forward to the first tick at/after it
-            _s, bl, off = _seg(t)
-            tick = bl / snap_divisor
-            k = round((t - off) / tick)
-            if floor is not None:
-                k = max(k, math.ceil((floor - off) / tick - 1e-9))
-            return int(round(off + k * tick))
+            # early landing forward to the first tick at/after it. If the
+            # result crosses into a later segment, re-snap on THAT grid —
+            # the emitted time must sit on the grid of the timing point
+            # that governs it
+            tq = float(t)
+            for _ in range(len(segments) + 1):
+                i = _seg_i(tq)
+                _s, bl, off = segments[i]
+                tick = bl / snap_divisor
+                k = round((tq - off) / tick)
+                if floor is not None:
+                    k = max(k, math.ceil((floor - off) / tick - 1e-9))
+                s_ms = off + k * tick
+                if _seg_i(s_ms) == i:
+                    return int(round(s_ms))
+                tq = s_ms  # landed past the next timing point: re-resolve
+            return int(round(tq))
     else:
 
         def snap(t: float, floor: int | None = None) -> int:
@@ -107,6 +125,7 @@ def decode_beatmap(
     slider_vels: list[float] = []
     prev_end: int | None = None
     prev_t = -(10**9)
+    first_hit_t: int | None = None
 
     for hit in decode_hit_signal(enc[HitChannels]):
         onset_frame, new_combo, whistle, finish, clap, *hold = hit
@@ -115,6 +134,8 @@ def decode_beatmap(
         floor = None if prev_end is None else max(prev_end, prev_t + 1)
         t = snap(int(frame_ms[onset_frame]), floor=floor)
         prev_t = t
+        if first_hit_t is None:
+            first_hit_t = t
         combo_bit = 1 << 2 if new_combo else 0
         sound = _hit_sound_bits(whistle, finish, clap)
 
@@ -155,6 +176,15 @@ def decode_beatmap(
         slider_vels.append(length * num_slides / (end_t - t))
 
     if infer_tempo:
+        # the first uninherited point must not postdate the first object:
+        # parsers drop inherited (slider SV) lines that precede every
+        # uninherited line, and objects before the first timing point fall
+        # back to SV 1. Shifting back by whole beats preserves the grid.
+        s0, bl0, off0 = segments[0]
+        if first_hit_t is not None and first_hit_t < off0:
+            segments[0] = (s0, bl0, off0 - math.ceil((off0 - first_hit_t) / bl0) * bl0)
+            seg_offs = [off for _s, _bl, off in segments]
+
         uninherited = [
             (off, 0, f"{off:.0f},{bl},4,0,0,50,1,0") for _s, bl, off in segments
         ]

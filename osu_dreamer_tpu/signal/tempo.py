@@ -25,6 +25,17 @@ MAX_BPM = 300.0
 PREFERRED_LO, PREFERRED_HI = 120.0, 220.0
 
 
+def octave_ratio_error(a: float, b: float) -> float:
+    """|ratio - 1| of a/b after folding into the octave band [0.75, 1.5):
+    0 when the two periods (or BPMs) agree modulo halving/doubling"""
+    r = a / b
+    while r < 0.75:
+        r *= 2.0
+    while r >= 1.5:
+        r /= 2.0
+    return abs(r - 1.0)
+
+
 def _comb_beat_len(onsets: np.ndarray, frame_ms: float) -> float | None:
     """comb-autocorrelation beat length (ms) of an onset envelope, octave-
     shifted into the playable BPM range; None when the span is too short or
@@ -192,25 +203,29 @@ def estimate_tempo_segments(
     ]
 
     # group consecutive windows with agreeing tempo (octave-normalized:
-    # a half/double comb pick within a window is not a tempo change)
+    # a half/double comb pick within a window is not a tempo change);
+    # silent windows (None) carry no tempo evidence and always attach to
+    # the adjacent group — leading ones wait for the first real window
     def _same(a: float, b: float) -> bool:
-        r = a / b
-        while r < 0.75:
-            r *= 2.0
-        while r > 1.5:
-            r /= 2.0
-        return bool(abs(np.log(r)) < 0.04)
+        return octave_ratio_error(a, b) < 0.04
 
     groups: list[list[int]] = []  # window indices
+    pending: list[int] = []  # leading silent windows, no group yet
     anchor: float | None = None
     for i, bl in enumerate(window_bls):
-        if bl is None or (anchor is not None and _same(bl, anchor)):
-            if not groups:
-                groups.append([])
+        if bl is None:
+            (groups[-1] if groups else pending).append(i)
+            continue
+        if anchor is not None and _same(bl, anchor):
             groups[-1].append(i)
             continue
-        groups.append([i])
+        groups.append(pending + [i])
+        pending = []
         anchor = bl
+    if not groups:
+        # every window silent/short: fall back to the whole-song estimate
+        bl, off = estimate_tempo(onsets, frame_times)
+        return [(0.0, bl, off)]
 
     def _refine(f0: int, f1: int) -> tuple[float, float]:
         bl, off = estimate_tempo(
