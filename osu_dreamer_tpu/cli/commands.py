@@ -8,7 +8,6 @@ into the command bodies so `--help` stays instant.
 from __future__ import annotations
 
 import random
-from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -213,12 +212,7 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     import jax.numpy as jnp
     import numpy as np
 
-    from osu_dreamer_tpu.audio import (
-        HOP_LEN,
-        load_wave,
-        prep_wave_for_model,
-        spec_for_model_batch,
-    )
+    from osu_dreamer_tpu.audio import HOP_LEN, load_wave, prep_wave_for_model
     from osu_dreamer_tpu.models.inference import load_inference
 
     if len(audio_files) > 1 and (title or artist):
@@ -274,43 +268,13 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         # above places them itself, replicated across the mesh.)
         params = jax.device_put(params)
 
-    # featurizer + 3-stage sampler fused into ONE device program per BATCH of
-    # songs: a single dispatch (the relay round trip is material), the spec
-    # never materializes host-side, and the LDM batches songs x difficulties
-    # through the (small) models together. Multi-device batches run under
-    # shard_map over the data mesh — each shard executes the FULL per-song
-    # program (Pallas featurizer/model kernels included; GSPMD cannot
-    # auto-partition Mosaic kernels, shard_map never asks it to). The rng
-    # folds in the shard index so rows stay independent across shards
-    # (seeded runs reproduce at a fixed device count; the row<->noise
-    # pairing differs from a single-device run).
-    def _sample_local(p, waves_i16, real_frames, lb, k, n_frames, out_frames):
-        spec = spec_for_model_batch(waves_i16, real_frames, n_frames, out_frames)
-        return model.apply(
-            p, spec, lb, k, sample_steps, style_guidance=style_guidance
-        )
+    # the shared fused featurizer+sampler program (one dispatch per song
+    # batch; shard_map over the data mesh on multi-chip hosts) — the same
+    # builder the serve service uses, so the two surfaces cannot diverge.
+    # Labels are replicated: every song shares the CLI's --diff rows.
+    from osu_dreamer_tpu.models.inference.sampler import build_batch_sampler
 
-    if song_mesh is None:
-
-        @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
-        def sample(p, waves_i16, real_frames, n_frames, out_frames, lb, k):
-            return _sample_local(p, waves_i16, real_frames, lb, k, n_frames, out_frames)
-
-    else:
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
-        def sample(p, waves_i16, real_frames, n_frames, out_frames, lb, k):
-            def local(p, w, rf, lb, k):
-                k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-                return _sample_local(p, w, rf, lb, k, n_frames, out_frames)
-
-            return shard_map(
-                local, mesh=song_mesh,
-                in_specs=(P(), P("data"), P("data"), P(), P()),
-                out_specs=P("data"), check_rep=False,
-            )(p, waves_i16, real_frames, lb, k)
+    sample = build_batch_sampler(model, song_mesh, labels_sharded=False)
 
     # songs move: device sampling -> (pool) .osu decode -> .osz write; the
     # device never waits on the host tail
@@ -359,8 +323,8 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         else:
             waves, rfs = jnp.asarray(waves), jnp.asarray(rfs)
         chart, pred_labels = sample(
-            params, waves, rfs, n_frames, out_frames,
-            labels, jax.random.PRNGKey(base_seed + batch_i),
+            params, waves, rfs, labels, jax.random.PRNGKey(base_seed + batch_i),
+            n_frames, out_frames, sample_steps, style_guidance,
         )
         return batch, chart, pred_labels
 
@@ -437,18 +401,14 @@ def _spawn_serialize_pool(workers: int):
 
 def _decode_osu_entry(title, artist, audio_name, version_i, label_row, signal,
                       infer_tempo, snap_divisor=0):
-    """one difficulty's .osu text — top-level so it pickles to pool workers"""
-    from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
+    """one difficulty's .osu text — thin pool-worker shim over the shared
+    signal.serialize.decode_osu_entry (also used by serve)"""
+    from osu_dreamer_tpu.signal.serialize import decode_osu_entry
 
-    name = f"{artist} - {title} (osu!dreamer-tpu) [version {version_i}].osu"
-    text = decode_beatmap(
-        MapMetadata(audio_name, title, artist, f"version {version_i}"),
-        label_row,
-        signal,
-        infer_tempo=infer_tempo,
-        snap_divisor=snap_divisor,
+    return decode_osu_entry(
+        title, artist, audio_name, version_i, label_row, signal,
+        infer_tempo=infer_tempo, snap_divisor=snap_divisor,
     )
-    return name, text
 
 
 def _write_mapset(audio_file, title, artist, entries) -> None:

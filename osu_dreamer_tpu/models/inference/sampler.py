@@ -1,0 +1,70 @@
+"""The batched featurizer+sampler device program shared by bulk predict
+(cli/commands.py) and the resident service (serve/service.py).
+
+One fused jitted program per (n_frames, out_frames, steps, guidance)
+signature: resonator featurization + the 3-stage LDM sampler, so a batch of
+songs costs ONE dispatch (the relay round trip is material) and the
+spectrogram never materializes host-side.
+
+Multi-device batches run under shard_map over a 1-D ``data`` mesh — each
+shard executes the FULL per-song program (Pallas featurizer/model kernels
+included; GSPMD cannot auto-partition Mosaic kernels, shard_map never asks
+it to). The rng folds in the shard index so rows stay independent across
+shards (seeded runs reproduce at a fixed device count; the row<->noise
+pairing differs from a single-device run).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+
+def build_batch_sampler(
+    model: Any,
+    mesh: Optional[Any] = None,
+    labels_sharded: bool = False,
+) -> Callable:
+    """-> jitted ``sample(params, waves_i16, real_frames, labels, key,
+    n_frames, out_frames, steps, guidance)``.
+
+    ``labels_sharded``: shard the label rows over the mesh's song axis
+    (serve: each co-batched request brings its own diffs) instead of
+    replicating them (bulk predict: every song shares the CLI's --diff
+    rows). Ignored when ``mesh`` is None.
+    """
+    import jax
+
+    from osu_dreamer_tpu.audio import spec_for_model_batch
+
+    def local(p, waves_i16, real_frames, lb, k, n_frames, out_frames,
+              steps, guidance):
+        spec = spec_for_model_batch(
+            waves_i16, real_frames, n_frames, out_frames
+        )  # (S, out_frames, A)
+        return model.apply(p, spec, lb, k, steps, style_guidance=guidance)
+
+    if mesh is None:
+        sample = local
+    else:
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        lb_spec = P("data") if labels_sharded else P()
+
+        def sample(p, waves_i16, real_frames, lb, k, n_frames, out_frames,
+                   steps, guidance):
+            def shard(p, w, rf, lb, k):
+                k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+                return local(p, w, rf, lb, k, n_frames, out_frames,
+                             steps, guidance)
+
+            return shard_map(
+                shard, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), lb_spec, P()),
+                out_specs=P("data"), check_rep=False,
+            )(p, waves_i16, real_frames, lb, k)
+
+    return jax.jit(
+        sample,
+        static_argnames=("n_frames", "out_frames", "steps", "guidance"),
+    )

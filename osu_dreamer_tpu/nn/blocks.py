@@ -91,11 +91,7 @@ class SwiGLU(nn.Module):
             # footprint fits; _bwd falls back to the XLA path otherwise, so
             # gate on the same feasibility check to avoid a fwd-only win
             # being eaten by a slower fallback backward
-            from osu_dreamer_tpu.ops.swiglu import (
-                DEFAULT_TILE,
-                _bwd_vmem_bytes,
-                bwd_kernel_feasible,
-            )
+            from osu_dreamer_tpu.ops.swiglu import DEFAULT_TILE, bwd_kernel_feasible
 
             B, L, C = x.shape
             programs = B * -(-L // DEFAULT_TILE)
@@ -192,6 +188,17 @@ class FilmStack(nn.Module):
         stacks (latent step ~10% MFU on pure XLA). Applies when the
         backward's VMEM footprint fits and dropout is off."""
         if self.fused is not None:
+            # an explicit override must still respect hard incompatibilities:
+            # the fused kernel has no dropout (silently dropping training
+            # regularization) and requires a depthwise conv (radius > 0)
+            if self.fused:
+                if self.radius <= 0:
+                    raise ValueError("fused=True requires radius > 0")
+                if self.dropout > 0 and train:
+                    raise ValueError(
+                        "fused=True is incompatible with dropout during "
+                        "training (the fused kernel has no dropout)"
+                    )
             return self.fused
         if self.radius <= 0 or (self.dropout > 0 and train):
             return False

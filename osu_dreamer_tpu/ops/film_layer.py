@@ -429,10 +429,11 @@ def _bwd_vmem_bytes(C: int, H: int, K: int, tile: int) -> int:
 
 
 def feasible_tile(C: int, H: int, K: int, tile: int = DEFAULT_TILE) -> int | None:
-    """largest backward tile that fits a v5e's ~16 MB VMEM, else None"""
-    while tile > 64 and _bwd_vmem_bytes(C, H, K, tile) > 14 * 2**20:
-        tile //= 2
-    return tile if _bwd_vmem_bytes(C, H, K, tile) <= 14 * 2**20 else None
+    """largest backward tile that fits the shared VMEM budget
+    (ops/_tiles.py), else None"""
+    from ._tiles import shrink_tile_to_budget
+
+    return shrink_tile_to_budget(lambda t: _bwd_vmem_bytes(C, H, K, t), tile)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(12, 13))

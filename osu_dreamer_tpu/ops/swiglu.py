@@ -352,11 +352,12 @@ def _bwd_vmem_bytes(C: int, H: int, K: int, tile: int) -> int:
 
 
 def _feasible_bwd_tile(C: int, H: int, K: int, tile: int) -> int | None:
-    """largest tile <= ``tile`` whose backward working set fits a v5e's
-    ~16 MB VMEM, or None if even the smallest tile cannot fit (huge H)"""
-    while tile > 64 and _bwd_vmem_bytes(C, H, K, tile) > 14 * 2**20:
-        tile //= 2
-    return tile if _bwd_vmem_bytes(C, H, K, tile) <= 14 * 2**20 else None
+    """largest tile <= ``tile`` whose backward working set fits the shared
+    VMEM budget (ops/_tiles.py), or None if even the smallest tile cannot
+    fit (huge H)"""
+    from ._tiles import shrink_tile_to_budget
+
+    return shrink_tile_to_budget(lambda t: _bwd_vmem_bytes(C, H, K, t), tile)
 
 
 def bwd_kernel_feasible(C: int, H: int, K: int, tile: int = DEFAULT_TILE) -> bool:

@@ -36,6 +36,14 @@ from .service import GeneratorService
 MAX_AUDIO_BYTES = 256 * 1024 * 1024
 
 
+def _header_safe(value: str) -> str:
+    """strip CR/LF/quotes/control chars so a user-supplied name cannot
+    inject response headers or break the Content-Disposition quoting"""
+    return "".join(
+        c for c in value if c.isprintable() and c not in '"\\'
+    ).strip() or "mapset.osz"
+
+
 def _make_handler(service: GeneratorService):
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -67,6 +75,7 @@ def _make_handler(service: GeneratorService):
                 return
             q = parse_qs(url.query)
 
+            body_read = False
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 if not 0 < length <= MAX_AUDIO_BYTES:
@@ -74,6 +83,7 @@ def _make_handler(service: GeneratorService):
                         f"Content-Length must be in (0, {MAX_AUDIO_BYTES}]"
                     )
                 audio = self.rfile.read(length)
+                body_read = True
 
                 diffs = None
                 if "diff" in q:
@@ -104,14 +114,30 @@ def _make_handler(service: GeneratorService):
                         if "snap_divisor" in q else None
                     ),
                 )
-            except (ValueError, RuntimeError, TimeoutError) as e:
-                self._json(400, {"error": str(e)})
+            except Exception as e:
+                # an unread body would desync this keep-alive connection:
+                # the next "request line" would be audio bytes
+                if not body_read:
+                    self.close_connection = True
+                # 400 = the request was bad (params, undecodable audio);
+                # 503 = the service couldn't serve it in time; 500 = it
+                # broke serving it. Never let an exception escape: that
+                # kills the handler thread mid-response.
+                if isinstance(e, TimeoutError):
+                    self._json(503, {"error": str(e)})
+                elif isinstance(e, RuntimeError):
+                    self._json(500, {"error": str(e)})
+                elif isinstance(e, ValueError):
+                    self._json(400, {"error": str(e)})
+                else:  # audio decode / codec errors: the client's bytes
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
                 return
 
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header(
-                "Content-Disposition", f'attachment; filename="{name}"'
+                "Content-Disposition",
+                f'attachment; filename="{_header_safe(name)}"',
             )
             self.send_header("Content-Length", str(len(osz)))
             self.end_headers()

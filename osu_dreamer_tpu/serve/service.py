@@ -49,6 +49,23 @@ from typing import Any, Optional, Sequence
 import numpy as np
 
 DEFAULT_DIFF = (5.0, 9.0, 8.0, 4.0, 6.0)
+# per-request work bounds for a resident multi-tenant service
+MAX_SAMPLE_STEPS = 512
+MAX_DIFFS = 16
+_AUDIO_SUFFIXES = frozenset({".wav", ".mp3", ".ogg", ".opus", ".m4a", ".flac"})
+
+
+def _safe_entry_name(name: str) -> str:
+    """user-supplied audio filename -> a safe zip-entry / tempfile name:
+    basename only (zip-slip), printable chars, known audio suffix"""
+    base = Path(str(name or "").replace("\\", "/")).name
+    base = "".join(c for c in base if c.isprintable() and c not in ':"')
+    stem, suffix = Path(base).stem, Path(base).suffix.lower()
+    if not stem or stem in (".", ".."):
+        stem = "audio"
+    if suffix not in _AUDIO_SUFFIXES:
+        suffix = ".wav"
+    return stem + suffix
 
 
 @dataclass
@@ -121,6 +138,7 @@ class GeneratorService:
         n_dev = len(devs) if devices is None else max(1, min(devices, len(devs)))
         n_dev = min(n_dev, max_batch)
         self._song_sharding = None
+        self._mesh = None
         if n_dev > 1:
             from jax.sharding import NamedSharding, PartitionSpec
 
@@ -166,51 +184,15 @@ class GeneratorService:
     # ------------------------------------------------------------- device --
 
     def _build_sampler(self):
-        import jax
+        # the shared fused featurizer+sampler program (one dispatch per
+        # batch; shard_map over the data mesh on multi-chip hosts) — the
+        # same builder bulk predict uses, so the two surfaces cannot
+        # diverge. Labels shard with the songs: each co-batched request
+        # brings its own diff rows.
+        from osu_dreamer_tpu.models.inference.sampler import build_batch_sampler
 
-        from osu_dreamer_tpu.audio import spec_for_model_batch
-
-        model = self.model
-
-        def local(p, waves_i16, real_frames, labels, key, n_frames,
-                  out_frames, steps, guidance):
-            spec = spec_for_model_batch(
-                waves_i16, real_frames, n_frames, out_frames
-            )  # (S, out_frames, A)
-            return model.apply(
-                p, spec, labels, key, steps, style_guidance=guidance
-            )
-
-        if self._song_sharding is None:
-            sample = local
-        else:
-            # multi-chip: shard_map over the data mesh — each shard runs the
-            # FULL per-song program (Pallas kernels included; GSPMD cannot
-            # auto-partition Mosaic kernels, shard_map never asks it to).
-            # The rng folds in the shard index so co-batched songs on
-            # different chips draw independent noise.
-            from jax.experimental.shard_map import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            mesh = self._mesh
-
-            def sample(p, waves_i16, real_frames, labels, key, n_frames,
-                       out_frames, steps, guidance):
-                def shard(p, w, rf, lb, k):
-                    k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-                    return local(p, w, rf, lb, k, n_frames, out_frames,
-                                 steps, guidance)
-
-                return shard_map(
-                    shard, mesh=mesh,
-                    in_specs=(P(), P("data"), P("data"), P("data"), P()),
-                    out_specs=P("data"), check_rep=False,
-                )(p, waves_i16, real_frames, labels, key)
-
-        return jax.jit(
-            sample,
-            static_argnames=("n_frames", "out_frames", "steps", "guidance"),
-        )
+        mesh = self._mesh if self._song_sharding is not None else None
+        return build_batch_sampler(self.model, mesh, labels_sharded=True)
 
     def _next_key(self, seed: Optional[int]):
         import jax
@@ -348,7 +330,7 @@ class GeneratorService:
         requests with different values still co-batch on device.
         """
         from osu_dreamer_tpu.audio import HOP_LEN, load_wave, prep_wave_for_model
-        from osu_dreamer_tpu.signal import MapMetadata, decode_beatmap
+        from osu_dreamer_tpu.signal.serialize import decode_osu_entry
 
         if self._closed:
             raise RuntimeError("service is closed")
@@ -358,11 +340,21 @@ class GeneratorService:
         )
         if diff_rows.ndim != 2 or diff_rows.shape[1] != 5:
             raise ValueError("each diff row must be (sr, ar, od, cs, hp)")
+        if len(diff_rows) > MAX_DIFFS or not np.isfinite(diff_rows).all():
+            raise ValueError(f"at most {MAX_DIFFS} finite diff rows per request")
         if snap_divisor is not None and snap_divisor < 0:
             raise ValueError("snap_divisor must be >= 0")
+        # a resident service must bound per-request device work: steps and
+        # guidance are jit STATIC args — every distinct value compiles a new
+        # program, and a huge step count would wedge the single dispatcher
+        if not 1 <= int(sample_steps) <= MAX_SAMPLE_STEPS:
+            raise ValueError(f"sample_steps must be in [1, {MAX_SAMPLE_STEPS}]")
+        if not np.isfinite(style_guidance) or not 0.0 <= float(style_guidance) <= 50.0:
+            raise ValueError("style_guidance must be a finite value in [0, 50]")
 
         # host prep on the request thread (decode may need a real file path
         # for the container demuxer)
+        audio_name = _safe_entry_name(audio_name)
         suffix = Path(audio_name).suffix or ".wav"
         with tempfile.NamedTemporaryFile(suffix=suffix, delete=False) as tf:
             tf.write(audio_bytes)
@@ -381,7 +373,12 @@ class GeneratorService:
             out_frames=out_frames, L=L, labels=diff_rows,
             steps=int(sample_steps), guidance=float(style_guidance), seed=seed,
         )
+        # enqueue under the lock WITH the closed re-check: a request that
+        # slips in after close() would otherwise never be dispatched and
+        # hang for the full timeout
         with self._cond:
+            if self._closed:
+                raise RuntimeError("service is closed")
             self._pending.append(req)
             self._cond.notify_all()
         with self.stats_lock:
@@ -407,15 +404,14 @@ class GeneratorService:
         title = title or Path(audio_name).stem
         artist = artist or "Unknown Artist"
         signals = chart[:, : req.L].transpose(0, 2, 1)  # (D, X, L)
-        entries = []
-        for i, (row, sig) in enumerate(zip(pred_labels, signals)):
-            name = f"{artist} - {title} (osu!dreamer-tpu) [version {i}].osu"
-            entries.append((name, decode_beatmap(
-                MapMetadata(audio_name, title, artist, f"version {i}"),
-                row, sig,
+        entries = [
+            decode_osu_entry(
+                title, artist, audio_name, i, row, sig,
                 infer_tempo=self.infer_tempo if infer_tempo is None else infer_tempo,
                 snap_divisor=self.snap_divisor if snap_divisor is None else snap_divisor,
-            )))
+            )
+            for i, (row, sig) in enumerate(zip(pred_labels, signals))
+        ]
 
         out = io.BytesIO()
         with zipfile.ZipFile(out, "w") as z:
@@ -447,5 +443,10 @@ class GeneratorService:
     def close(self, timeout: float = 5.0) -> None:
         with self._cond:
             self._closed = True
+            stranded = list(self._pending)
+            self._pending.clear()
             self._cond.notify_all()
+        for r in stranded:  # fail waiters instead of letting them time out
+            r.error = RuntimeError("service closed")
+            r.done.set()
         self._dispatcher.join(timeout=timeout)

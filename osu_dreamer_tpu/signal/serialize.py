@@ -35,6 +35,30 @@ class MapMetadata:
     version: str = "osu!dreamer-tpu model"
 
 
+def decode_osu_entry(
+    title: str,
+    artist: str,
+    audio_name: str,
+    version_i: int,
+    label_row: np.ndarray,
+    signal: np.ndarray,
+    infer_tempo: bool = False,
+    snap_divisor: int = 0,
+) -> tuple[str, str]:
+    """one generated difficulty -> (.osu entry name, .osu text). The single
+    naming/decode used by BOTH bulk predict and the serve service (top-level
+    so it pickles to predict's spawn-pool workers)."""
+    name = f"{artist} - {title} (osu!dreamer-tpu) [version {version_i}].osu"
+    text = decode_beatmap(
+        MapMetadata(audio_name, title, artist, f"version {version_i}"),
+        label_row,
+        signal,
+        infer_tempo=infer_tempo,
+        snap_divisor=snap_divisor,
+    )
+    return name, text
+
+
 def _hit_sound_bits(whistle: bool, finish: bool, clap: bool) -> int:
     return (whistle << 1) | (finish << 2) | (clap << 3)
 
