@@ -159,6 +159,24 @@ class TestService:
         with pytest.raises(ValueError):
             service.generate(b"\0" * 64, diffs=[(1.0, 2.0)])
 
+    def test_work_bounds_rejected(self, service):
+        with pytest.raises(ValueError):
+            service.generate(b"\0" * 64, sample_steps=10**9)
+        with pytest.raises(ValueError):
+            service.generate(b"\0" * 64, style_guidance=float("nan"))
+        with pytest.raises(ValueError):
+            service.generate(b"\0" * 64, diffs=[(1.0, 2, 3, 4, 5)] * 17)
+
+    def test_close_fails_stranded_requests(self, artifact_path):
+        """a request enqueued around close() gets an error, not a 600 s
+        hang (enqueue re-checks closed under the lock; close drains)"""
+        from osu_dreamer_tpu.serve import GeneratorService
+
+        svc = GeneratorService(artifact_path, max_batch=2, batch_window_ms=10.0)
+        svc.close()
+        with pytest.raises(RuntimeError):
+            svc.generate(b"\0" * 64, sample_steps=2, timeout=5.0)
+
 
 @pytest.mark.slow
 def test_multi_device_serving(artifact_path, tmp_path):
@@ -320,3 +338,40 @@ class TestHTTP:
             urllib.request.urlopen(req, timeout=10)
         assert e.value.code == 400
         assert "snap_divisor" in json.load(e.value)["error"]
+
+        # unbounded device work rejected (steps/guidance are jit statics)
+        for q in ("sample_steps=100000000", "style_guidance=inf",
+                  "diff=" + "&diff=".join(["1,2,3,4,5"] * 17)):
+            req = urllib.request.Request(
+                self._url(server, f"/generate?{q}"),
+                data=b"x" * 64, method="POST",
+            )
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(req, timeout=10)
+            assert e.value.code == 400, q
+
+    def test_hostile_names_sanitized(self, server, tmp_path):
+        """zip-slip audio names and CRLF titles must not reach the zip
+        entry or the response headers"""
+        import urllib.parse
+        import urllib.request
+
+        audio = _wav_bytes(tmp_path, 1.0, freq=440.0)
+        name = urllib.parse.quote("../../../../etc/passwd.wav")
+        title = urllib.parse.quote('x"\r\nSet-Cookie: pwn=1')
+        url = self._url(
+            server,
+            f"/generate?sample_steps=2&seed=3&name={name}&title={title}&artist=a",
+        )
+        req = urllib.request.Request(url, data=audio, method="POST")
+        with urllib.request.urlopen(req, timeout=300) as r:
+            disp = r.headers["Content-Disposition"]
+            osz = r.read()
+        # injection-safe: no CR/LF survives, and the filename's quoting is
+        # intact (exactly the two delimiting quotes). Literal "Set-Cookie"
+        # TEXT inside the quoted value is harmless.
+        assert "\r" not in disp and "\n" not in disp
+        assert disp.count('"') == 2
+        with zipfile.ZipFile(io.BytesIO(osz)) as z:
+            for n in z.namelist():
+                assert ".." not in n and not n.startswith("/"), n
