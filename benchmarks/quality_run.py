@@ -71,11 +71,18 @@ def onset_match(pred_ms: np.ndarray, true_ms: np.ndarray, tol_ms: float = 24.0):
     return precision, recall, f1
 
 
+def _section(text: str, header: str) -> str:
+    """lenient section extraction: missing sections score as empty instead
+    of aborting the whole run with an IndexError after training finished"""
+    parts = text.split(header, 1)
+    return parts[1] if len(parts) == 2 else ""
+
+
 def hit_times_from_osu(text: str) -> np.ndarray:
     """deliberately lenient (vs osu.Beatmap): generated charts can violate
     monotonicity/overlap invariants the full parser rejects, and a scoring
     harness must still count their onsets"""
-    section = text.split("[HitObjects]")[1]
+    section = _section(text, "[HitObjects]")
     times = []
     for line in section.strip().splitlines():
         parts = line.split(",")
@@ -87,7 +94,7 @@ def hit_times_from_osu(text: str) -> np.ndarray:
 def parse_objects(text: str) -> list[dict]:
     """lenient hit-object rows: (x, y, t, kind) with kind from the type bits"""
     rows = []
-    for line in text.split("[HitObjects]")[1].strip().splitlines():
+    for line in _section(text, "[HitObjects]").strip().splitlines():
         p = line.split(",")
         if len(p) < 4:
             continue
@@ -99,7 +106,7 @@ def parse_objects(text: str) -> list[dict]:
 
 def difficulty_row(text: str) -> dict:
     vals = {}
-    for line in text.split("[Difficulty]")[1].split("[", 1)[0].splitlines():
+    for line in _section(text, "[Difficulty]").split("[", 1)[0].splitlines():
         if ":" in line:
             k, v = line.split(":", 1)
             try:
@@ -158,7 +165,7 @@ def score_generated(gen_text: str, true_text: str, requested: tuple) -> dict:
     def _beat_lens(text: str) -> list[float]:
         return [
             float(parts[1])
-            for line in text.split("[TimingPoints]")[1].split("[")[0].splitlines()
+            for line in _section(text, "[TimingPoints]").split("[")[0].splitlines()
             if len(parts := line.strip().split(",")) >= 2 and float(parts[1]) > 0
         ]
 

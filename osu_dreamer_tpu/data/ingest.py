@@ -251,6 +251,15 @@ def build_dataset(
             # dataset.py:42: it names the output directory); local ingest
             # derives one from the audio bytes
             audio_hash = sample.get("audio_hash")
+            # the hash comes from UNTRUSTED corpus metadata and names a
+            # directory: anything but a plain token (path separators, "..")
+            # is replaced with a hash of itself so it cannot escape data_dir
+            if audio_hash and not all(
+                c.isalnum() or c in "._-" for c in str(audio_hash)
+            ):
+                audio_hash = hashlib.md5(str(audio_hash).encode()).hexdigest()[:16]
+            if audio_hash and set(str(audio_hash)) <= {"."}:
+                audio_hash = None  # "." / ".." resolve inside/above data_dir
             if not audio_hash:
                 payload = sample["audio_bytes"]
                 if payload is None:

@@ -84,6 +84,15 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
                 f"data.seq_len {data_args.seq_len} must divide over "
                 f"parallel.sp={n_sp}"
             )
+        if model_args.backbone.dropout > 0:
+            # a replicated dropout rng would draw the SAME local mask on
+            # every shard — neither equal to the unsharded step nor
+            # statistically equivalent; reject until the mask is sliced
+            # from a global draw like the noise is
+            raise ValueError(
+                "parallel.sp with backbone.dropout > 0 is unsupported: "
+                "per-shard dropout masks would be correlated"
+            )
         # every shard must span the conv receptive radii (ffn radius + the
         # 2-frame u-head halo), or halo exchange degenerates
         min_shard = max(2, model_args.backbone.radius)
@@ -109,8 +118,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     )) if par.process_count > 1 else None
 
     def train_stream(epoch: int) -> Iterator[LatentBatch]:
-        from itertools import islice
-
         stream = latent_windows(
             train_sets,
             data_args.seq_len,
@@ -120,8 +127,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             shard=par.input_shard,
         )
         batches = prefetch(batched(stream, par.local_batch_size))
-        if lockstep is not None:
-            batches = islice(batches, lockstep)
+        batches = par.lockstep_stream(batches, lockstep)
         for b in batches:
             batch = LatentBatch(*(jnp.asarray(x) for x in b))
             yield par.shard_batch(batch)

@@ -142,8 +142,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     )) if par.process_count > 1 else None
 
     def train_stream(epoch: int) -> Iterator[Batch]:
-        from itertools import islice
-
         stream = signal_windows(
             train_sets,
             data_args.seq_len,
@@ -153,8 +151,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             shard=par.input_shard,
         )
         batches = prefetch(batched(stream, par.local_batch_size))
-        if lockstep is not None:
-            batches = islice(batches, lockstep)
+        batches = par.lockstep_stream(batches, lockstep)
         for b in batches:
             batch = Batch(*(jnp.asarray(x) for x in b))
             yield par.shard_batch(batch)

@@ -69,8 +69,6 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
     )) if par.process_count > 1 else None
 
     def train_stream(epoch: int):
-        from itertools import islice
-
         # style codes are per-map: stream full maps, keep (s, labels)
         stream = (
             (s.s, s.labels)
@@ -80,8 +78,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             )
         )
         batches = prefetch(_batched_pairs(stream, par.local_batch_size))
-        if lockstep is not None:
-            batches = islice(batches, lockstep)
+        batches = par.lockstep_stream(batches, lockstep)
         for styles, labels in batches:
             batch = (jnp.asarray(styles), jnp.asarray(labels))
             yield par.shard_batch(batch)

@@ -17,15 +17,21 @@ from flax import linen as nn
 from .norm import rms_norm
 
 
-def _flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
-    """use the fused Pallas kernels: TPU backend only (CPU tests take the
-    numerically-equivalent XLA path), shapes inside the VMEM budget, and not
-    explicitly disabled via OSU_DREAMER_XLA_ATTN=1 (A/B escape hatch)"""
+def _pallas_attn_enabled() -> bool:
+    """the shared gate for BOTH attention kernels: TPU backend ONLY (the
+    Mosaic BlockSpecs lower nowhere else — on GPU the XLA path is correct
+    and the kernel would crash), and not explicitly disabled via
+    OSU_DREAMER_XLA_ATTN=1 (A/B escape hatch)"""
     import os
 
     if os.environ.get("OSU_DREAMER_XLA_ATTN", "0") == "1":
         return False
-    if jax.default_backend() == "cpu":
+    return jax.default_backend() == "tpu"
+
+
+def _flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
+    """use the fused Pallas kernel: shapes inside the VMEM budget"""
+    if not _pallas_attn_enabled():
         return False
     from osu_dreamer_tpu.ops.fused_attention import fused_attention_fits
 
@@ -34,13 +40,8 @@ def _flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
 
 def _long_flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
     """use the long-sequence forward kernel (full-song inference lengths):
-    TPU backend, beyond the fully-fused kernel's VMEM cap but inside the
-    long kernel's, and not disabled via OSU_DREAMER_XLA_ATTN=1"""
-    import os
-
-    if os.environ.get("OSU_DREAMER_XLA_ATTN", "0") == "1":
-        return False
-    if jax.default_backend() == "cpu":
+    beyond the fully-fused kernel's VMEM cap but inside the long kernel's"""
+    if not _pallas_attn_enabled():
         return False
     from osu_dreamer_tpu.ops.fused_attention import fused_attention_fits
     from osu_dreamer_tpu.ops.long_attention import long_attention_fits

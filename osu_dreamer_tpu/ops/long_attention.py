@@ -53,8 +53,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 def long_attention_fits(L: int, n_heads: int, head_dim: int) -> bool:
-    """shape gate for the long-sequence forward kernel"""
-    return L <= MAX_LONG_LEN and (n_heads * head_dim) % 128 == 0
+    """shape gate for the long-sequence forward kernel: lane-aligned packed
+    heads AND a working set that fits the shared VMEM budget (the fixed
+    L <= 2048 cap only bounds it at HD = 1024 bf16 — wider models must
+    fall back to XLA instead of failing Pallas compilation)"""
+    HD = n_heads * head_dim
+    if L > MAX_LONG_LEN or HD % 128 != 0:
+        return False
+    from ._tiles import VMEM_BUDGET_BYTES
+
+    Lp = _round_up(L, 128)
+    kv = 2 * Lp * HD * 2          # k + v bf16, VMEM-resident whole
+    logits = BLOCK_Q * Lp * 4     # one f32 logits block
+    probs = BLOCK_Q * Lp * 2      # bf16 probabilities
+    q_out = 2 * (2 * BLOCK_Q * HD * 2)  # q/out blocks, double-buffered
+    return kv + logits + probs + q_out <= VMEM_BUDGET_BYTES
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, n_heads, head_dim, k_len, scale):

@@ -80,6 +80,16 @@ class Parallelism:
         counts = multihost_utils.process_allgather(jnp.asarray(local))
         return int(counts.min())
 
+    def lockstep_stream(self, batches: Any, lockstep: Optional[int]) -> Any:
+        """apply the ``lockstep_steps`` truncation to an epoch's batch
+        iterable — the ONE place the lockstep invariant is enforced, shared
+        by all three stage fits (pass-through when single-process)"""
+        if lockstep is None:
+            return batches
+        from itertools import islice
+
+        return islice(batches, lockstep)
+
     def shard_batch(self, batch: Any) -> Any:
         if self.mesh is None or self.sp_axis is not None:
             # sp: the shard_map train step's in_specs place the batch
@@ -116,6 +126,30 @@ def build_parallelism(args: ParallelArgs, batch_size: int) -> Parallelism:
 
     if args.tp > 1 and args.sp > 1:
         raise ValueError("parallel.tp and parallel.sp cannot be combined (yet)")
+
+    if n_proc > 1 and args.tp <= 1 and args.sp <= 1:
+        # multi-host DP: the mesh MUST span every process's devices — a mesh
+        # missing any host's devices breaks make_global_batch (each host
+        # still feeds its input shard), and no mesh at all trains N
+        # divergent models with no gradient sync
+        devices = jax.devices()
+        if args.dp == 1:
+            raise ValueError(
+                "parallel.dp=1 with a multi-process coordinator would train "
+                "divergent models (each host would optimize alone, no "
+                "gradient sync); set dp to the global device count or 'auto'"
+            )
+        if args.dp > 1 and args.dp != len(devices):
+            raise ValueError(
+                f"multi-host dp must span every device: parallel.dp={args.dp}"
+                f" but {len(devices)} global devices across {n_proc} processes"
+            )
+        if batch_size % len(devices) != 0:
+            raise ValueError(
+                f"multi-host: global batch {batch_size} must divide over all "
+                f"{len(devices)} devices (trimming the mesh would drop some "
+                "hosts' devices)"
+            )
     if args.sp > 1 and args.coordinator:
         raise ValueError(
             "parallel.sp is single-process for now: the sp train step's "
@@ -177,7 +211,12 @@ def build_parallelism(args: ParallelArgs, batch_size: int) -> Parallelism:
         prepare = lambda s: replicate(s, mesh)  # noqa: E731
         print(f"[parallel] data-parallel over {args.dp} devices (configured)")
     else:  # auto
-        mesh = auto_data_parallel(batch_size)
+        if n_proc > 1:
+            # all-device mesh, validated divisible above — auto trim would
+            # silently drop some hosts' devices
+            mesh = data_parallel_mesh(jax.devices())
+        else:
+            mesh = auto_data_parallel(batch_size)
         if mesh is not None:
             prepare = lambda s: replicate(s, mesh)  # noqa: E731
 

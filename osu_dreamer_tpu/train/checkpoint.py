@@ -109,11 +109,17 @@ class BestCheckpointKeeper:
         monitor: str,
         mode: str = "min",
         min_save_interval_s: float = 0.0,
+        write: bool = True,
     ):
         assert mode in ("min", "max")
         self.run_dir = Path(run_dir)
         self.monitor = monitor
         self.mode = mode
+        # write=False: track best-metric/improvement (early stopping must
+        # stay in LOCKSTEP across multi-host processes — val metrics are
+        # identical on replicated state) but never touch disk. Non-zero
+        # process ranks use this so concurrent saves cannot race.
+        self.write = write
         # throttle rolling-`last` saves: a full checkpoint is a device->host
         # fetch of the whole TrainState (hundreds of MB), which can dwarf
         # short epochs; `last` is refreshed at most this often (a new best
@@ -148,6 +154,10 @@ class BestCheckpointKeeper:
             or (self.mode == "min" and value < self.best_metric)
             or (self.mode == "max" and value > self.best_metric)
         )
+        if not self.write:
+            if improved:
+                self.best_metric = value
+            return improved
         now = time.monotonic()
         if not improved and now - self._last_save_t < self.min_save_interval_s:
             return False

@@ -18,17 +18,24 @@ class MetricsLogger:
     """thin TensorBoard writer; degrades to stderr prints when tensorboard
     isn't importable"""
 
-    def __init__(self, run_dir: str | Path):
+    def __init__(self, run_dir: str | Path, write: bool = True):
+        # write=False: a silent sink for non-zero multi-host process ranks
+        # (duplicate TB event streams in one dir confuse TensorBoard)
         self.run_dir = Path(run_dir)
-        self.run_dir.mkdir(parents=True, exist_ok=True)
-        try:
-            from tensorboardX import SummaryWriter
+        self.write = write
+        self._writer = None
+        if write:
+            self.run_dir.mkdir(parents=True, exist_ok=True)
+            try:
+                from tensorboardX import SummaryWriter
 
-            self._writer = SummaryWriter(logdir=str(self.run_dir))
-        except Exception:
-            self._writer = None
+                self._writer = SummaryWriter(logdir=str(self.run_dir))
+            except Exception:
+                self._writer = None
 
     def scalars(self, values: Mapping[str, Any], step: int, prefix: str = "") -> None:
+        if not self.write:
+            return
         for name, value in values.items():
             tag = f"{prefix}{name}" if prefix else name
             v = float(np.asarray(value))

@@ -70,9 +70,14 @@ class Stage:
 
 def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> TrainState:
     run_dir = Path(args.run_dir)
-    logger = MetricsLogger(run_dir / "tb")
+    # multi-host: only process 0 writes checkpoints/TB (concurrent saves to
+    # a shared run_dir race); the others still TRACK best-metric so early
+    # stopping stays in lockstep (val metrics match on replicated state)
+    is_writer = jax.process_index() == 0
+    logger = MetricsLogger(run_dir / "tb", write=is_writer)
     keeper = BestCheckpointKeeper(
-        run_dir, args.monitor, args.monitor_mode, args.save_last_every_s
+        run_dir, args.monitor, args.monitor_mode, args.save_last_every_s,
+        write=is_writer,
     )
 
     state = stage.state
