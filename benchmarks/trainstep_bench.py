@@ -61,13 +61,16 @@ def measure_train_step(
         s=jax.random.normal(k3, (batch, model_args.style_dim)),
         labels=jnp.ones((batch, 5)),
     ))
-    cost = train_step.lower(state, batch_data).compile().cost_analysis()
+    # one AOT compile serves both cost_analysis and the timed loop (calling
+    # train_step() would re-trace and re-compile the full-size step)
+    compiled = train_step.lower(state, batch_data).compile()
+    cost = compiled.cost_analysis()
     flops = float((cost or {}).get("flops", 0.0))
-    state, metrics = train_step(state, batch_data)
+    state, metrics = compiled(state, batch_data)
     jax.block_until_ready(state.params)
     t0 = time.time()
     for _ in range(steps):
-        state, metrics = train_step(state, batch_data)
+        state, metrics = compiled(state, batch_data)
     jax.block_until_ready(state.params)
     dt = (time.time() - t0) / steps
     return {
@@ -106,13 +109,14 @@ def measure_latent_step(
         labels=jnp.ones((batch, 5)),
     )
     data = jax.device_put(data)
-    cost = train_step.lower(state, data).compile().cost_analysis()
+    compiled = train_step.lower(state, data).compile()
+    cost = compiled.cost_analysis()
     flops = float((cost or {}).get("flops", 0.0))
-    state, _ = train_step(state, data)
+    state, _ = compiled(state, data)
     jax.block_until_ready(state.params)
     t0 = time.time()
     for _ in range(steps):
-        state, _ = train_step(state, data)
+        state, _ = compiled(state, data)
     jax.block_until_ready(state.params)
     dt = (time.time() - t0) / steps
     return {
@@ -169,7 +173,7 @@ def main() -> None:
     flops = float((cost or {}).get("flops", 0.0))
     log(f"compile: {time.time() - t0:.1f}s; XLA flops/step: {flops / 1e12:.3f} TF")
 
-    state, metrics = train_step(state, batch)
+    state, metrics = compiled(state, batch)
     jax.block_until_ready(state.params)
 
     # --- 1. pipelined: queue N steps, block once ---
@@ -182,14 +186,14 @@ def main() -> None:
     with ctx:
         t0 = time.time()
         for _ in range(N):
-            state, metrics = train_step(state, batch)
+            state, metrics = compiled(state, batch)
         jax.block_until_ready(state.params)
         pipelined = (time.time() - t0) / N
 
     # --- 2. per-step blocking ---
     t0 = time.time()
     for _ in range(N):
-        state, metrics = train_step(state, batch)
+        state, metrics = compiled(state, batch)
         jax.block_until_ready(metrics["loss"])
     blocking = (time.time() - t0) / N
 

@@ -26,6 +26,13 @@ def _pallas_attn_enabled() -> bool:
 
     if os.environ.get("OSU_DREAMER_XLA_ATTN", "0") == "1":
         return False
+    from osu_dreamer_tpu.ops.policy import gspmd_sharding_active
+
+    if gspmd_sharding_active():
+        # GSPMD cannot partition tpu_custom_call: under a plain-jit sharded
+        # step the kernel would force replicated operands (all-gather the
+        # global batch); the XLA path partitions correctly
+        return False
     return jax.default_backend() == "tpu"
 
 

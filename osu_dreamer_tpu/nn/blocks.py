@@ -29,6 +29,10 @@ def _pallas_swiglu_default() -> bool:
     override = os.environ.get("ODT_FUSED_SWIGLU")
     if override is not None:
         return override not in ("0", "false", "")
+    from osu_dreamer_tpu.ops.policy import gspmd_sharding_active
+
+    if gspmd_sharding_active():
+        return False  # see ops/policy.py: GSPMD cannot partition the kernel
     try:
         import jax
 

@@ -57,12 +57,19 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fused_attention_fits(L: int, n_heads: int, head_dim: int) -> bool:
-    """shape gate: VMEM-bounded length, even rotary halves, lane-tile (128)
-    aligned packed head dim (tiny test models fall back to XLA)"""
+    """shape gate: VMEM-bounded working set, even rotary halves, lane-tile
+    (128) aligned packed head dim (tiny test models fall back to XLA).
+
+    The backward's live set scales ~ L * (n_heads * head_dim); the
+    MAX_FUSED_LEN cap was measured at HD = 1024 (~15.5 MiB of the ~16 MiB
+    core budget), so wider models must shrink L proportionally rather than
+    pass the gate and fail Pallas compilation."""
+    HD = n_heads * head_dim
     return (
-        L <= MAX_FUSED_LEN
+        HD > 0
+        and L * HD <= MAX_FUSED_LEN * 1024
         and head_dim % 2 == 0
-        and (n_heads * head_dim) % 128 == 0
+        and HD % 128 == 0
     )
 
 

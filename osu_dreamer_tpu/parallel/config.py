@@ -220,6 +220,18 @@ def build_parallelism(args: ParallelArgs, batch_size: int) -> Parallelism:
         if mesh is not None:
             prepare = lambda s: replicate(s, mesh)  # noqa: E731
 
+    if mesh is not None and sp_axis is None:
+        # DP/TP train steps are plain-jit with sharded operands: GSPMD
+        # partitions them, and GSPMD cannot partition Pallas kernels
+        # (tpu_custom_call) — flip every auto kernel gate to the XLA paths,
+        # which partition correctly. The sp path (and predict/serve) run
+        # kernels under shard_map, where they stay enabled.
+        from osu_dreamer_tpu.ops.policy import set_gspmd_sharding
+
+        set_gspmd_sharding(True)
+        print("[parallel] GSPMD mesh: Pallas kernels disabled in favor of "
+              "the partitionable XLA paths")
+
     shard = (n_proc, proc_id) if n_proc > 1 else None
     if shard is not None:
         print(f"[parallel] multi-host: process {proc_id}/{n_proc}, "

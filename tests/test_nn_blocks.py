@@ -129,3 +129,20 @@ class TestMMD:
         matched = float(mmd_imq(z, prior))
         shifted = float(mmd_imq(z + 3.0, prior))
         assert shifted > matched + 0.1
+
+
+def test_gspmd_policy_disables_kernel_gates(monkeypatch):
+    """build_parallelism's GSPMD flag must flip every auto kernel gate to
+    the partitionable XLA paths (GSPMD cannot partition tpu_custom_call)"""
+    from osu_dreamer_tpu.nn.attention import _pallas_attn_enabled
+    from osu_dreamer_tpu.nn.blocks import _pallas_swiglu_default
+    from osu_dreamer_tpu.ops import policy
+
+    monkeypatch.delenv("OSU_DREAMER_XLA_ATTN", raising=False)
+    monkeypatch.delenv("ODT_FUSED_SWIGLU", raising=False)
+    try:
+        policy.set_gspmd_sharding(True)
+        assert not _pallas_attn_enabled()
+        assert not _pallas_swiglu_default()
+    finally:
+        policy.set_gspmd_sharding(False)
