@@ -417,3 +417,19 @@ class TestLongFlashAttention:
         with pltpu.force_tpu_interpret_mode():
             got = np.asarray(mod.apply(params, x), np.float32)
         np.testing.assert_allclose(got, base, atol=2e-2)
+
+
+def test_fused_attention_gate_scales_with_head_width():
+    """the VMEM cap scales with n_heads*head_dim: the measured budget was
+    L=256 at HD=1024; doubling HD must halve the admissible length instead
+    of passing the gate and failing Pallas compilation"""
+    from osu_dreamer_tpu.ops.fused_attention import fused_attention_fits
+    from osu_dreamer_tpu.ops.long_attention import long_attention_fits
+
+    assert fused_attention_fits(256, 16, 64)        # HD=1024 baseline
+    assert not fused_attention_fits(256, 32, 64)    # HD=2048 at L=256
+    assert fused_attention_fits(128, 32, 64)        # halved L fits
+    assert not fused_attention_fits(256, 16, 62)    # lane misalignment
+
+    assert long_attention_fits(2048, 16, 64)        # HD=1024 baseline
+    assert not long_attention_fits(2048, 32, 64)    # HD=2048 blows VMEM
