@@ -202,15 +202,20 @@ class DiffusionModel(nn.Module):
         if sp is None:
             f = self.u_convs(xt).mean(axis=1)  # (B, U)
         else:
-            # sequence-parallel: the two radius-1 convs see a 2-frame ring
-            # halo (global edges zero, matching SAME padding), interior
-            # frames are cropped back, and the time mean is pmean'd so every
-            # shard carries the same global u
+            # sequence-parallel: each radius-1 conv gets its OWN 1-frame
+            # ring halo (global edges zero) so the padding semantics match
+            # the unsharded stack exactly — SAME zero-pads each conv's
+            # INPUT, so the second conv's edge neighbor must be a literal
+            # zero, not the first conv's output on a zero-padded frame (a
+            # single 2-frame halo through both convs diverges at the global
+            # sequence edges). The time mean is pmean'd so every shard
+            # carries the same global u.
             from osu_dreamer_tpu.ops.ring_attention import halo_exchange
 
-            xt_ext = halo_exchange(xt, 2, sp)
-            f = self.u_convs(xt_ext)[:, 2:-2].mean(axis=1)
-            f = jax.lax.pmean(f, sp)
+            conv1, dense1, act1, conv2, dense2, act2 = self.u_convs.layers
+            y = act1(dense1(conv1(halo_exchange(xt, 1, sp))[:, 1:-1]))
+            f = act2(dense2(conv2(halo_exchange(y, 1, sp))[:, 1:-1]))
+            f = jax.lax.pmean(f.mean(axis=1), sp)
         scale, shift = jnp.split(self.u_film(cond_g), 2, axis=-1)
         f = f * (1 + scale) + shift
         u = self.args.u_scale * nn.softplus(self.u_out(f).astype(jnp.float32))[:, 0]
