@@ -182,10 +182,10 @@ def main() -> None:
     waves_b = jnp.asarray(np.stack([buf] * S))
     rfs_b = jnp.asarray(np.asarray([real_frames] * S, np.int32))
 
-    @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
-    def sample_batch(p, waves, rfs, n_frames, out_frames, lb, k):
+    @partial(jax.jit, static_argnames=("n_frames", "out_frames", "steps"))
+    def sample_batch(p, waves, rfs, n_frames, out_frames, lb, k, steps=NUM_STEPS):
         sp = spec_for_model_batch(waves, rfs, n_frames, out_frames)
-        return model.apply(p, sp, lb, k, NUM_STEPS)
+        return model.apply(p, sp, lb, k, steps)
 
     def run_batch(k):
         return sample_batch(params, waves_b, rfs_b, n_frames, out_frames, labels, k)
@@ -208,11 +208,10 @@ def main() -> None:
     if os.environ.get("BENCH_SWEEP", "0") == "1":
         # the reference's own predict default is 8 diffusion steps
         # (scripts/predict.py:25); quality holds there (ROADMAP: F1 0.95) and
-        # throughput is ~3.4x the 32-step headline config
-        @partial(jax.jit, static_argnames=("n_frames", "out_frames"))
+        # throughput is ~3.4x the 32-step headline config. Same jitted
+        # program family as sample_batch — `steps` is a static arg.
         def sample_batch8(p, waves, rfs, n_frames, out_frames, lb, k):
-            sp = spec_for_model_batch(waves, rfs, n_frames, out_frames)
-            return model.apply(p, sp, lb, k, 8)
+            return sample_batch(p, waves, rfs, n_frames, out_frames, lb, k, steps=8)
 
         out = sample_batch8(
             params, waves_b, rfs_b, n_frames, out_frames, labels,

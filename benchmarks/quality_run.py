@@ -401,7 +401,6 @@ def main() -> None:
     metrics.update({
         f"gen/{k}": float(np.mean([s[k] for s in gen_scores if k in s]))
         for k in keys
-        if any(k in s for s in gen_scores)
     })
     print(json.dumps(metrics))
 
