@@ -589,3 +589,32 @@ print("dp predict ok:", [p.name for p in oszs])
 """
     )
     assert "dp predict ok" in out
+
+
+def test_multihost_mesh_validation(monkeypatch):
+    """multi-host DP must reject configurations whose mesh would not span
+    every process's devices (dp=1 trains divergent models; dp < global
+    devices or a trimming batch drops hosts from the mesh)"""
+    import pytest as _pytest
+
+    import osu_dreamer_tpu.parallel.config as cfg
+
+    monkeypatch.setattr(cfg.jax, "process_count", lambda: 2)
+    monkeypatch.setattr(cfg.jax, "process_index", lambda: 0)
+    # every validation below only needs len(devices): fake a 4-device host
+    monkeypatch.setattr(cfg.jax, "devices", lambda: [object()] * 4)
+
+    with _pytest.raises(ValueError, match="divergent"):
+        cfg.build_parallelism(cfg.ParallelArgs(dp=1), batch_size=8)
+
+    with _pytest.raises(ValueError, match="span every device"):
+        cfg.build_parallelism(cfg.ParallelArgs(dp=2), batch_size=8)
+
+    # a batch that does not divide over all devices must be rejected, not
+    # silently trimmed (6 % 4 != 0 but 6 % 2 processes == 0)
+    with _pytest.raises(ValueError, match="divide"):
+        cfg.build_parallelism(cfg.ParallelArgs(), batch_size=6)
+
+    # odd global batch cannot split over 2 processes
+    with _pytest.raises(ValueError, match="processes"):
+        cfg.build_parallelism(cfg.ParallelArgs(), batch_size=7)
