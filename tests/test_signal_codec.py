@@ -322,7 +322,9 @@ class TestSerializerFuzz:
         labels = np.array([3.0, 9, 8, 4, 5])
         for seed in range(12):
             rng = np.random.default_rng(seed)
-            L = int(rng.integers(50, 4000))
+            # up to ~70 s: long enough that tempo inference SEGMENTS the
+            # song (>= 2 analysis windows), exercising multi-grid snapping
+            L = int(rng.integers(50, 12000))
             sig = rng.random((9, L), np.float32)
             # shape the channels like a (bad) model: smooth-ish bumps
             k = np.ones(3) / 3
