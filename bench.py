@@ -56,7 +56,6 @@ def main() -> None:
     import jax.numpy as jnp
 
     from osu_dreamer_tpu.audio import (
-        HOP_LEN,
         SR,
         make_spec_for_model,
         prep_wave_for_model,
@@ -139,7 +138,6 @@ def main() -> None:
     h = jnp.zeros(h_shape, jnp.float32)
     s = jnp.zeros((1, args.diffusion.style_dim), jnp.float32)
 
-    from osu_dreamer_tpu.models.diffusion import DiffusionModel
 
     diff_sample = jax.jit(
         lambda p, h, s, k: model.apply(

@@ -9,7 +9,6 @@ checkpoint monitor is val/loss.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from pathlib import Path
 from typing import Iterator
 

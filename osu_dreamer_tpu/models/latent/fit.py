@@ -13,7 +13,7 @@ and every metric is computed under a valid-length mask.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
 from typing import Iterator
@@ -34,7 +34,7 @@ from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
 from osu_dreamer_tpu.signal import Channel
 from osu_dreamer_tpu.nn.schedule import lr_at
 from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
-from osu_dreamer_tpu.train.state import TrainState, make_optimizer
+from osu_dreamer_tpu.train.state import TrainState
 from osu_dreamer_tpu.utils import dataclass_from_dict, load_yaml_config
 
 from .model import LatentModel, LatentModelArgs

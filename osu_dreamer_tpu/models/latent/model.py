@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from osu_dreamer_tpu.audio import A_DIM
 from osu_dreamer_tpu.nn import AttnPool, FilmStack, RMSNorm, rms_norm, zeros_init
-from osu_dreamer_tpu.signal import CURSOR_DIM, HIT_DIM, NUM_LABELS, X_DIM
+from osu_dreamer_tpu.signal import HIT_DIM, NUM_LABELS, X_DIM
 
 
 @dataclass

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from osu_dreamer_tpu.nn import mmd_imq
-from osu_dreamer_tpu.signal import CURSOR_DIM, HIT_DIM
+from osu_dreamer_tpu.signal import HIT_DIM
 from osu_dreamer_tpu.train.state import OptimizerArgs, TrainState, create_train_state
 
 from .model import LatentModel, LatentModelArgs

@@ -96,7 +96,7 @@ def halo_exchange(x: jnp.ndarray, radius: int, axis_name: str) -> jnp.ndarray:
 def sequence_parallel_attention(q, k, v, mesh, axis_name: str = "sp"):
     """convenience wrapper: shard (B, L, H, D) tensors on L over `axis_name`
     of `mesh` and run ring attention; returns the unsharded result"""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from jax.experimental.shard_map import shard_map
 

@@ -8,7 +8,7 @@ TimingPoint, Circle, Spinner, Break, abstract Slider with
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -9,7 +9,7 @@ on-disk layout is identical, so datasets interchange with the reference.
 from __future__ import annotations
 
 from enum import IntEnum
-from typing import TYPE_CHECKING, BinaryIO
+from typing import TYPE_CHECKING
 
 import numpy as np
 from jaxtyping import Float

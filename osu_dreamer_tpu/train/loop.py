@@ -11,12 +11,11 @@ from __future__ import annotations
 
 import time
 from contextlib import nullcontext
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Any, Callable, Iterable, Optional
 
 import jax
-import numpy as np
 
 from .checkpoint import BestCheckpointKeeper, restore_train_state
 from .logging import MetricsLogger
