@@ -205,6 +205,9 @@ def test_full_pipeline(dataset_dir, tmp_path):
                 "--sample-steps", "2",
                 "--title", "Synth", "--artist", "Test",
                 "--seed", "0",
+                # host-side decode flag (no extra device compile): beat
+                # snapping through the real CLI surface
+                "--snap-divisor", "4",
             ],
             catch_exceptions=False,
         )
