@@ -264,9 +264,12 @@ double odn_star_rating(const double* times, const double* xs, const double* ys,
   double scale = 52.0 / radius;
   if (radius < 30.0) scale *= 1.0 + std::min(30.0 - radius, 5.0) / 50.0;
 
-  std::vector<double> dts(n - 1), dists(n - 1);
+  // the classic model clamps ONLY the strain-increment divisor to 50 ms;
+  // decay runs on the raw time delta (stacked/0 ms objects decay ~nothing)
+  std::vector<double> raw_dts(n - 1), dts(n - 1), dists(n - 1);
   for (int64_t i = 0; i + 1 < n; i++) {
-    dts[i] = std::max(times[i + 1] - times[i], 50.0);
+    raw_dts[i] = std::max(times[i + 1] - times[i], 0.0);
+    dts[i] = std::max(raw_dts[i], 50.0);
     const double dx = (xs[i + 1] - xs[i]) * scale;
     const double dy = (ys[i + 1] - ys[i]) * scale;
     dists[i] = std::sqrt(dx * dx + dy * dy);
@@ -282,7 +285,7 @@ double odn_star_rating(const double* times, const double* xs, const double* ys,
       const double w =
           skill == 0 ? speed_weight(dists[i]) : std::pow(dists[i], 0.99);
       const double inc = w * scalings[skill] / dts[i];
-      prev = prev * std::pow(decays[skill], dts[i] / 1000.0) + inc;
+      prev = prev * std::pow(decays[skill], raw_dts[i] / 1000.0) + inc;
       strains[i] = prev;
       ts[i] = times[i + 1];
     }

@@ -102,6 +102,7 @@ def _decode_wav(path: Path) -> tuple[np.ndarray, int]:
 
     pos, end = 12, len(data)
     fmt = None
+    fmt_body = b""
     payload = None
     while pos + 8 <= end:
         chunk_id = data[pos : pos + 4]
@@ -109,6 +110,7 @@ def _decode_wav(path: Path) -> tuple[np.ndarray, int]:
         body = data[pos + 8 : pos + 8 + chunk_len]
         if chunk_id == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", body, 0)
+            fmt_body = body
         elif chunk_id == b"data":
             payload = body
         pos += 8 + chunk_len + (chunk_len & 1)
@@ -117,9 +119,15 @@ def _decode_wav(path: Path) -> tuple[np.ndarray, int]:
         raise AudioDecodeError(f"{path}: missing fmt/data chunk")
 
     wav_format, channels, rate, _byte_rate, _block_align, bits = fmt
-    if wav_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        wav_format = 1  # sub-format GUID's leading bytes give the real code;
-        # PCM overwhelmingly dominates, and float files set bits=32/64 below
+    if wav_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the REAL format code is the SubFormat GUID's leading u16, at fmt
+        # body offset 24 (16 std + cbSize 2 + valid-bits 2 + channel-mask 4)
+        # — IEEE-float extensible files are common DAW/ffmpeg output and
+        # would decode to full-scale noise through the int PCM path
+        if len(fmt_body) >= 26:
+            (wav_format,) = struct.unpack_from("<H", fmt_body, 24)
+        else:
+            wav_format = 1  # malformed extensible header: assume PCM
 
     if wav_format == 3:  # IEEE float
         dt = "<f4" if bits == 32 else "<f8"

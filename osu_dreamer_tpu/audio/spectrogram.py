@@ -218,7 +218,15 @@ def spec_for_model_batch(
 ) -> jax.Array:
     """batched traceable featurize: (S, len) int16 waves + (S,) real frame
     counts -> (S, out_frames, F). Per-song top-60dB normalization (each song
-    peaks against its own loudest frame, exactly like the solo path)."""
+    peaks against its own loudest frame, exactly like the solo path).
+
+    vmap over the Pallas resonator is SAFE: the batching rule prepends the
+    song axis to the grid, but ``pl.program_id`` indexes only the USER grid
+    axes — jax's mosaic lowering filters ``vmapped_dims`` out of
+    ``user_grid_indices`` (jax/_src/pallas/mosaic/lowering.py), so the
+    kernel's cross-tile carry stays keyed on the tile index per song
+    (regression: tests/test_ops.py
+    test_batched_featurize_keeps_carry_per_song)."""
     return jax.vmap(
         lambda w, r: spec_for_model_jax(w, r, n_frames, out_frames, pallas)[0]
     )(waves_i16, real_frames)

@@ -365,22 +365,39 @@ class _Raised:
 def prefetch(stream: Iterable, depth: int = 2) -> Iterator:
     """run ``stream`` on a background thread, keeping up to ``depth`` items
     ready, so host-side windowing/stacking overlaps device steps; exceptions
-    re-raise at the consumer"""
+    re-raise at the consumer.
+
+    Consumer-abandonment-safe: if the consumer stops early (multi-host
+    lockstep truncation islices every epoch; generator close on break), the
+    worker notices via a stop flag instead of blocking forever on a full
+    queue — otherwise each truncated epoch would leak a thread pinning
+    ``depth`` full batches."""
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stopped = threading.Event()
 
     def worker() -> None:
         try:
             for item in stream:
-                q.put(item)
+                while not stopped.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stopped.is_set():
+                    return
             q.put(_END)
         except BaseException as e:  # noqa: BLE001 — must cross the thread
             q.put(_Raised(e))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, _Raised):
-            raise item.exc
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, _Raised):
+                raise item.exc
+            yield item
+    finally:
+        stopped.set()  # runs on break/close/GC of the consumer generator

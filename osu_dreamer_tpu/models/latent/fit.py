@@ -58,8 +58,9 @@ def _playfield_scale():
     return jnp.array([512.0, 384.0], jnp.float32)
 
 
-def make_val_fn(model: LatentModel, bucket: int):
-    """per-bucket jitted full-map eval: loss-free reconstruction metrics"""
+def make_val_fn(model: LatentModel):
+    """jitted full-map eval (one compile per padded length via the static
+    L_pad arg): loss-free reconstruction metrics"""
 
     @partial(jax.jit, static_argnums=(4,))
     def val_metrics(params, spec, chart, labels, L_pad, length):
@@ -79,7 +80,6 @@ def make_val_fn(model: LatentModel, bucket: int):
         vmask = (mask[:, 1:] * mask[:, :-1])[..., None]
         true_v = jnp.diff(true_xy, axis=1) * vmask
         pred_v = jnp.diff(pred_xy, axis=1) * vmask
-        n_v = jnp.maximum(vmask.sum() * 2, 1.0)
         v_mean = true_v.sum(axis=1, keepdims=True) / jnp.maximum(vmask.sum(), 1.0)
 
         z_var_min = z.astype(jnp.float32).var(axis=(0, 1)).min()
@@ -157,7 +157,7 @@ def run(config_path: str | Path | None = None, resume_from: str | None = None) -
             yield par.shard_batch(batch)
 
     bucket = chunk2 * BUCKET_CHUNKS
-    val_fn = make_val_fn(model, bucket)
+    val_fn = make_val_fn(model)
 
     def validate(state: TrainState) -> dict[str, float]:
         sums = {k: 0.0 for k in ("on_tt", "on_pt", "on_pp", "cur_res", "cur_tot")}

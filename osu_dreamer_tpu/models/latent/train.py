@@ -26,6 +26,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from osu_dreamer_tpu.nn import mmd_imq
@@ -40,7 +41,10 @@ LOSS_COMPONENTS = (
     "cursor/pos", "cursor/vel", "cursor/acc",
     "label",
 )
-LOSS_WEIGHTS = jnp.array([1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2], jnp.float32)
+# np, NOT jnp: a module-level device array would initialize the JAX backend
+# at import time, which breaks jax.distributed.initialize for multi-host
+# fits (it must run before any device use); traced code converts it lazily
+LOSS_WEIGHTS = np.array([1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2], np.float32)
 
 
 @dataclass

@@ -130,7 +130,10 @@ def _star_rating_py(bm: "Beatmap") -> float:
     times = np.array([float(o.t) for o in objs])
     pos = np.stack([o.start_pos() for o in objs]) * scale
 
-    deltas = np.maximum(np.diff(times), _MIN_DELTA_MS)
+    # the classic model clamps ONLY the strain-increment divisor to 50 ms;
+    # decay runs on the raw time delta (stacked/0 ms objects decay ~nothing)
+    raw_deltas = np.maximum(np.diff(times), 0.0)
+    deltas = np.maximum(raw_deltas, _MIN_DELTA_MS)
     dists = np.linalg.norm(np.diff(pos, axis=0), axis=1)
 
     stars_per_skill = []
@@ -143,7 +146,7 @@ def _star_rating_py(bm: "Beatmap") -> float:
         strains[0] = 0.0
         for i in range(1, len(objs)):
             increment = weight_fn(float(dists[i - 1])) * scaling / float(deltas[i - 1])
-            decay = decay_base ** (float(deltas[i - 1]) / 1000.0)
+            decay = decay_base ** (float(raw_deltas[i - 1]) / 1000.0)
             strains[i] = strains[i - 1] * decay + increment
 
         diff = _skill_difficulty(times[1:], strains[1:], decay_base)

@@ -211,3 +211,53 @@ class TestBatchedFeaturize:
             np.asarray(batch[1]), np.asarray(make_spec_for_model(w2, chunk)[0]),
             atol=1e-6,
         )
+
+
+class TestExtensibleWav:
+    def test_extensible_float32_decodes_via_subformat_guid(self, tmp_path, rng):
+        """WAVE_FORMAT_EXTENSIBLE's real format code lives in the SubFormat
+        GUID; an extensible IEEE-float file must route to the float decoder
+        (previously forced to int PCM -> full-scale noise)"""
+        import struct
+
+        from osu_dreamer_tpu.audio.decode import _decode_wav
+
+        wave = np.tanh(rng.normal(size=4096)).astype(np.float32) * 0.8
+        payload = wave.tobytes()
+        # fmt body: std 16 bytes + cbSize 22 + valid bits + channel mask +
+        # SubFormat GUID (leading u16 = 3: IEEE float)
+        guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(12)
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16384, 16384 * 4, 4, 32)
+        fmt += struct.pack("<HHI", 22, 32, 4) + guid
+        data = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        p = tmp_path / "ext.wav"
+        p.write_bytes(data)
+        out, rate = _decode_wav(p)
+        assert rate == 16384
+        np.testing.assert_allclose(out[:, 0], wave, atol=1e-6)
+
+    def test_extensible_pcm16_still_decodes(self, tmp_path, rng):
+        import struct
+
+        from osu_dreamer_tpu.audio.decode import _decode_wav
+
+        wave = (np.tanh(rng.normal(size=2048)) * 0.8 * 32767).astype(np.int16)
+        payload = wave.tobytes()
+        guid = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16384, 16384 * 2, 2, 16)
+        fmt += struct.pack("<HHI", 22, 16, 4) + guid
+        data = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        p = tmp_path / "extpcm.wav"
+        p.write_bytes(data)
+        out, rate = _decode_wav(p)
+        np.testing.assert_allclose(out[:, 0], wave / 32768.0, atol=1e-4)

@@ -132,3 +132,29 @@ def test_native_matches_python():
     for kw in (dict(), dict(interval_ms=83, spacing=105), dict(spacing=260, cs=5)):
         bm = Beatmap(pattern_osu(**kw))
         assert star_rating(bm) == pytest.approx(_star_rating_py(bm), rel=1e-6)
+
+
+def test_sub50ms_gaps_decay_by_raw_delta():
+    """the classic model clamps only the strain-increment divisor at 50 ms;
+    decay runs on the raw delta — stacked/burst patterns must accumulate
+    MORE strain than the same pattern spaced at exactly 50 ms (previously
+    both were clamped identically, underestimating dense maps)"""
+    def pattern(interval_ms: float) -> str:
+        hits = "\n".join(
+            f"{100 + (i % 2) * 100},{192},{1000 + int(i * interval_ms)},1,0,0:0:0:0:"
+            for i in range(200)
+        )
+        return (
+            "osu file format v14\n\n[General]\nAudioFilename: a.mp3\nMode: 0\n\n"
+            "[Metadata]\nTitle: t\nArtist: a\nCreator: c\nVersion: v\n\n"
+            "[Difficulty]\nHPDrainRate: 5\nCircleSize: 4\nOverallDifficulty: 5\n"
+            "ApproachRate: 5\nSliderMultiplier: 1\nSliderTickRate: 1\n\n"
+            "[TimingPoints]\n1000,500,4,0,0,50,1,0\n\n[HitObjects]\n" + hits
+        )
+
+    sr_dense = star_rating(Beatmap(pattern(20.0)))
+    sr_50 = star_rating(Beatmap(pattern(50.0)))
+    assert sr_dense > sr_50, (sr_dense, sr_50)
+    # py and native must agree on the changed path
+    bm = Beatmap(pattern(20.0))
+    assert abs(star_rating(bm) - _star_rating_py(bm)) < 1e-6

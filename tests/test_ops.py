@@ -249,6 +249,35 @@ class TestPallasResonator:
         np.testing.assert_allclose(got[..., 1], exact.imag, atol=5e-3)
 
 
+
+    def test_batched_featurize_keeps_carry_per_song(self, rng):
+        """vmapping the resonator kernel must keep the cross-tile carry
+        keyed PER SONG: the batching rule prepends the song axis to the
+        grid, but pl.program_id indexes only the USER axes (jax filters
+        vmapped_dims out of the kernel-visible grid indices) — pin that
+        contract, since the carry logic silently corrupts every batched
+        spectrogram if it ever changes"""
+        import jax
+        import jax.numpy as jnp
+
+        from osu_dreamer_tpu.audio.constants import HOP_LEN, N_BINS, SR
+        from osu_dreamer_tpu.ops.resonator import TILE, resonate_frames_pallas
+
+        K = TILE + 23  # spans a tile boundary so the carry path is live
+        frames = jnp.asarray(
+            rng.normal(size=(2, K, HOP_LEN)).astype(np.float32)
+        )
+
+        solo = jnp.stack([
+            resonate_frames_pallas(frames[i], HOP_LEN, N_BINS, SR, interpret=True)
+            for i in range(2)
+        ])
+        vmapped = jax.vmap(
+            lambda f: resonate_frames_pallas(f, HOP_LEN, N_BINS, SR, interpret=True)
+        )(frames)
+        np.testing.assert_allclose(np.asarray(vmapped), np.asarray(solo), atol=1e-6)
+
+
 class TestFusedNormRopeAttention:
     """ops/fused_attention.py (norm+rope+attention megakernel, fwd+bwd) vs
     the jnp composition, in Pallas interpret mode on CPU."""
@@ -433,3 +462,4 @@ def test_fused_attention_gate_scales_with_head_width():
 
     assert long_attention_fits(2048, 16, 64)        # HD=1024 baseline
     assert not long_attention_fits(2048, 32, 64)    # HD=2048 blows VMEM
+

@@ -333,3 +333,34 @@ class TestFitLoop:
         trace_dir = tmp_path / "run" / "trace"
         assert trace_dir.exists()
         assert list(trace_dir.rglob("*.xplane.pb")), "no trace artifact written"
+
+
+    def test_prefetch_abandonment_releases_worker(self):
+        """a consumer that stops early (lockstep truncation islices every
+        epoch) must not leave the worker blocked on a full queue forever"""
+        import threading
+        import time
+
+        from osu_dreamer_tpu.data import prefetch
+
+        produced = []
+        finished = threading.Event()
+
+        def stream():
+            try:
+                for i in range(1000):
+                    produced.append(i)
+                    yield i
+            finally:
+                finished.set()
+
+        it = prefetch(stream(), depth=2)
+        for _ in range(3):
+            next(it)
+        it.close()  # consumer abandons mid-stream
+        # the worker must notice the stop flag and exit (generator finally
+        # may not run — the worker returns between yields — so poll thread
+        # count indirectly via produced stabilizing)
+        n0 = len(produced)
+        time.sleep(0.6)
+        assert len(produced) - n0 <= 1, "worker kept producing after abandon"
