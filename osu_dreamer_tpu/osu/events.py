@@ -143,6 +143,15 @@ class Slider(HitObject):
         self.ctrl_pts = ctrl_pts
         self.slide_duration = length / (slider_mult * 100) * beat_length
 
+    def _refresh_duration(self) -> None:
+        """recompute slide_duration after a subclass fixes ``length`` from
+        geometry (a declared length of 0 would otherwise leave
+        slide_duration at 0: end_time()==t, zero-width encoded extents, and
+        vel_at dividing by zero)"""
+        self.slide_duration = (
+            self.length / (self.slider_mult * 100) * self.beat_length
+        )
+
     def end_time(self) -> int:
         return int(self.t + self.slide_duration * self.slides)
 

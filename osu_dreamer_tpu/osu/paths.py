@@ -86,6 +86,27 @@ class BezierPath:
             levels = (1.0 - t) * levels[:, :-1] + t * levels[:, 1:]
         return levels[:, 0]
 
+    def param_at_length(self, s: float, tol: float = 1e-3) -> float:
+        """parameter t whose arc length from 0 equals ``s`` (bisection on
+        the subdivided length — the bezier parameter is NOT proportional to
+        arc length, so splitting at a length FRACTION overshoots on curved
+        segments)"""
+        total = self.length
+        if s <= 0.0:
+            return 0.0
+        if s >= total:
+            return 1.0
+        lo, hi = 0.0, 1.0
+        for _ in range(48):
+            mid = 0.5 * (lo + hi)
+            if self.split(mid)[0].length < s:
+                lo = mid
+            else:
+                hi = mid
+            if (hi - lo) * total < tol:
+                break
+        return 0.5 * (lo + hi)
+
     def split(self, t: float) -> tuple["BezierPath", "BezierPath"]:
         """de Casteljau subdivision at t -> (curve over [0,t], curve over [t,1])"""
         assert 0.0 <= t <= 1.0
@@ -118,6 +139,7 @@ class LineSlider(Slider):
         else:
             self.p1 = np.asarray(end, dtype=float)
             self.length = norm
+            self._refresh_duration()
 
     def __repr__(self) -> str:
         return f"LineSlider(t={self.t}, {self.p0} -> {self.p1}, x{self.slides})"
@@ -148,6 +170,7 @@ class ArcSlider(Slider):
         else:
             self.a1 = float(a1)
             self.length = abs(a1 - a0) * self.radius
+            self._refresh_duration()
 
     def __repr__(self) -> str:
         return (
@@ -209,11 +232,20 @@ class MultiBezierSlider(Slider):
                     excess -= segments.pop().length
                 if not segments:
                     raise BeatmapParseError("slider length truncates entire path")
+                # PARAMETER-fraction split, matching the reference parser
+                # exactly (reference sliders.py:205): the osu! client cuts
+                # at exact ARC length instead (the bezier parameter is not
+                # proportional to arc length, so this overshoots by up to
+                # ~10% on curved last segments) — kept reference-compatible
+                # because the parity suite treats the reference codec as
+                # the dataset-encoding oracle. param_at_length() is the
+                # client-accurate alternative if that trade ever flips.
                 keep_frac = 1.0 - excess / max(segments[-1].length, 1e-12)
                 segments[-1] = segments[-1].split(min(max(keep_frac, 0.0), 1.0))[0]
                 self.ctrl_pts = [p for seg in segments for p in seg.pts]
         else:
             self.length = geometric_len
+            self._refresh_duration()
 
         self.segments = segments
         lens = np.array([max(seg.length, 1e-12) for seg in segments])

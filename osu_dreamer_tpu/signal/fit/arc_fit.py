@@ -27,6 +27,10 @@ def fit_arc(points: np.ndarray) -> tuple[float, float, list[np.ndarray]] | None:
     # Kasa fit: minimize |(x-cx)^2 + (y-cy)^2 - r^2| linearized over (cx, cy, c)
     design = np.column_stack([2 * x, 2 * y, np.ones_like(x)])
     target = x * x + y * y
+    # no fit needed to reject a degenerate span: check endpoints first
+    if np.linalg.norm(points[-1] - points[0]) < MIN_ENDPOINT_DIST:
+        return None
+
     try:
         (cx, cy, c), *_ = np.linalg.lstsq(design, target, rcond=None)
     except np.linalg.LinAlgError:
@@ -38,8 +42,6 @@ def fit_arc(points: np.ndarray) -> tuple[float, float, list[np.ndarray]] | None:
     radius = float(np.sqrt(r_sq))
     center = np.array([cx, cy])
 
-    if np.linalg.norm(points[-1] - points[0]) < MIN_ENDPOINT_DIST:
-        return None
     if radius > MAX_RADIUS:
         return None
 
@@ -47,9 +49,18 @@ def fit_arc(points: np.ndarray) -> tuple[float, float, list[np.ndarray]] | None:
     sweep = float(angles[-1] - angles[0])
     if abs(sweep) < MIN_SWEEP_RAD:
         return None
+    # a 3-point "P" spec cannot represent a sweep of a full circle or more:
+    # the midpoint wraps and the reconstructed arc plays MIRRORED
+    if abs(sweep) >= 2.0 * np.pi:
+        return None
 
+    # angular-direction reversals: exactly-repeated cursor points (uint16
+    # quantization, rests) give zero steps — not reversals
     steps = np.diff(angles)
-    if np.count_nonzero(np.sign(steps) != np.sign(sweep)) > len(steps) * MAX_REVERSAL_FRAC:
+    nonzero = steps[steps != 0.0]
+    if np.count_nonzero(
+        np.sign(nonzero) != np.sign(sweep)
+    ) > len(steps) * MAX_REVERSAL_FRAC:
         return None
 
     radial_err = np.linalg.norm(points - center, axis=1) - radius

@@ -139,12 +139,18 @@ def decode_hit_signal(sig: Float[np.ndarray, "7 L"]) -> list[Hit]:
     onset_idxs = decode_events(sig[Channel.ONSET])
     n = len(onset_idxs)
 
-    # frame index -> onset ordinal within tolerance (-1 elsewhere)
+    # frame index -> NEAREST onset ordinal within tolerance (-1 elsewhere).
+    # Nearest, not last-writer-wins: when onsets sit <= 2*tol apart, a flag
+    # peak landing exactly on onset i's frame must attach to i, not i+1
     frame_to_onset = np.full(L, -1, dtype=int)
+    frame_dist = np.full(L, ONSET_TOL_FRAMES + 1, dtype=int)
     for ordinal, fi in enumerate(onset_idxs):
         lo = max(fi - ONSET_TOL_FRAMES, 0)
         hi = min(fi + ONSET_TOL_FRAMES + 1, L)
-        frame_to_onset[lo:hi] = ordinal
+        d = np.abs(np.arange(lo, hi) - fi)
+        closer = d < frame_dist[lo:hi]
+        frame_to_onset[lo:hi] = np.where(closer, ordinal, frame_to_onset[lo:hi])
+        frame_dist[lo:hi] = np.minimum(frame_dist[lo:hi], d)
 
     flags = np.zeros((n, 4), dtype=bool)
     for col, ch in enumerate((Channel.COMBO, Channel.WHISTLE, Channel.FINISH, Channel.CLAP)):
@@ -180,7 +186,10 @@ def decode_hit_signal(sig: Float[np.ndarray, "7 L"]) -> list[Hit]:
         elif l_end <= onset:
             num_slides = 1  # degenerate (zero-length) slide mark: single slide
         else:
-            num_slides = round((s_end - onset) / (l_end - onset))
+            # a PRESENT slide extent always means slider: the channels are
+            # independent model outputs, so slide > 2*sustain would round
+            # to 0 and silently misclassify the hold as a spinner
+            num_slides = max(1, round((s_end - onset) / (l_end - onset)))
         hits.append((*base, s_end, num_slides))
 
     return hits

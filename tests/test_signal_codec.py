@@ -344,3 +344,65 @@ class TestSerializerFuzz:
                 assert all(b > a for a, b in zip(ts, ts[1:])), (mode, seed)
             else:
                 assert all(b >= a for a, b in zip(ts, ts[1:])), (mode, seed)
+
+
+class TestDecodeEdgeCases:
+    """regressions from review: flag attribution in dense streams, slide
+    extents longer than their sustain, zero-declared-length sliders"""
+
+    def _enc(self, L, onset_ms, ft, chan_events):
+        from osu_dreamer_tpu.signal.hits import events_signal
+
+        sig = np.zeros((7, L), np.float32)
+        sig[0] = events_signal(onset_ms, ft)
+        for ch, ts in chan_events.items():
+            sig[ch] = events_signal(ts, ft)
+        return sig
+
+    def test_flag_attaches_to_nearest_onset(self):
+        """two onsets 2 frames apart: a whistle peak exactly on the FIRST
+        onset's frame must attach to it, not be overwritten by the second
+        onset's tolerance window"""
+        from osu_dreamer_tpu.audio import get_frame_times
+        from osu_dreamer_tpu.signal.encoding import Channel
+        from osu_dreamer_tpu.signal.hits import decode_hit_signal
+
+        L = 120
+        ft = get_frame_times(L)
+        t0, t1 = float(ft[50]), float(ft[52])
+        sig = self._enc(L, [t0, t1], ft, {Channel.WHISTLE: [t0]})
+        hits = decode_hit_signal(sig)
+        assert len(hits) == 2
+        (o0, _, w0, *_), (o1, _, w1, *_) = hits
+        assert w0 and not w1, hits
+
+    def test_long_slide_extent_stays_slider(self):
+        """slide extent > 2x sustain (independent model channels) must not
+        round num_slides to 0 and morph the hold into a spinner"""
+        from osu_dreamer_tpu.audio import get_frame_times
+        from osu_dreamer_tpu.signal.encoding import Channel
+        from osu_dreamer_tpu.signal.hits import decode_hit_signal, extents_signal
+
+        L = 200
+        ft = get_frame_times(L)
+        t0 = float(ft[20])
+        sig = self._enc(L, [t0], ft, {})
+        sig[Channel.SUSTAIN] = extents_signal([(t0, float(ft[30]))], ft)
+        sig[Channel.SLIDE] = extents_signal([(t0, float(ft[60]))], ft)
+        hits = decode_hit_signal(sig)
+        assert len(hits) == 1 and len(hits[0]) == 7
+        *_, num_slides = hits[0]
+        assert num_slides >= 1, hits
+
+    def test_zero_declared_length_slider_has_duration(self):
+        from osu_dreamer_tpu.osu.paths import slider_from_control_points
+
+        s = slider_from_control_points(
+            1000, 500.0, 1.0, False, 0, 1, 0.0,
+            [np.array([0.0, 0.0]), np.array([100.0, 0.0])],
+        )
+        assert s.slide_duration > 0
+        assert s.end_time() > 1000
+        # vel_at must not divide by zero
+        v = s.vel_at(np.array([0.5]))
+        assert np.isfinite(v).all()
