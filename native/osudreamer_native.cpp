@@ -68,10 +68,12 @@ int odn_wav_info(const uint8_t* data, int64_t len, OdnWavInfo* info) {
   memcpy(&channels, fmt + 2, 2);
   memcpy(&rate, fmt + 4, 4);
   memcpy(&bits, fmt + 14, 2);
-  if (channels == 0 || bits == 0) return -4;
+  // sub-byte depths (e.g. 4-bit ADPCM) would make the bytes-per-frame
+  // integer division ZERO -> SIGFPE killing the whole process
+  if (channels == 0 || bits < 8 || bits % 8 != 0) return -4;
   info->channels = channels;
   info->sample_rate = (int32_t)rate;
-  info->n_frames = (int64_t)payload_len / (channels * bits / 8);
+  info->n_frames = (int64_t)payload_len / (channels * (bits / 8));
   return 0;
 }
 
@@ -81,11 +83,25 @@ int odn_wav_decode(const uint8_t* data, int64_t len, float* out) {
   uint32_t fmt_len, payload_len;
   int rc = find_chunks(data, len, &fmt, &fmt_len, &payload, &payload_len);
   if (rc != 0) return rc;
+  // validate here too: this is an exported C-ABI entry — callers are not
+  // obligated to run odn_wav_info first
+  if (fmt_len < 16) return -3;
   uint16_t format, channels, bits;
   memcpy(&format, fmt, 2);
   memcpy(&channels, fmt + 2, 2);
   memcpy(&bits, fmt + 14, 2);
-  if (format == 0xFFFE) format = 1;  // extensible: treat as PCM
+  if (channels == 0 || bits < 8 || bits % 8 != 0) return -4;
+  if (format == 0xFFFE) {
+    // WAVE_FORMAT_EXTENSIBLE: the REAL format code is the SubFormat GUID's
+    // leading u16 at fmt body offset 24 (16 std + cbSize 2 + valid-bits 2 +
+    // channel-mask 4) — extensible IEEE-float files would otherwise decode
+    // through the int-PCM path as full-scale noise (matches decode.py)
+    if (fmt_len >= 26) {
+      memcpy(&format, fmt + 24, 2);
+    } else {
+      format = 1;  // malformed extensible header: assume PCM
+    }
+  }
 
   int64_t n_samples = (int64_t)payload_len / (bits / 8);
   n_samples -= n_samples % channels;
@@ -141,23 +157,29 @@ int odn_resample(const float* in, int64_t n_in, int32_t rate_in,
     memcpy(out, in, n_in * 4);
     return 0;
   }
-  const int TAPS_HALF = 16;
   const double beta = 8.6;
   const double cutoff = 0.95 * 0.5 * std::min(rate_in, rate_out) / (double)rate_in;
   const double i0b = bessel_i0(beta);
 
   int64_t n_out = odn_resample_out_len(n_in, rate_in, rate_out);
   const double step = (double)rate_in / rate_out;
+  // 16 taps per phase at the LOWER of the two rates: when downsampling the
+  // anti-alias sinc stretches by 1/(2*cutoff) ~ step, so the window
+  // half-width must stretch with it or the kernel truncates after a few
+  // sidelobes and aliasing leaks into the band (the scipy fallback's
+  // resample_poly sizes its filter the same way)
+  const int64_t taps_half =
+      (int64_t)std::ceil(16.0 * std::max(1.0, step));
   const double scale = 2.0 * cutoff;
 
   for (int64_t o = 0; o < n_out; o++) {
     const double center = o * step;
-    const int64_t lo = (int64_t)std::ceil(center) - TAPS_HALF;
-    const int64_t hi = lo + 2 * TAPS_HALF;
+    const int64_t lo = (int64_t)std::ceil(center) - taps_half;
+    const int64_t hi = lo + 2 * taps_half;
     double acc = 0.0, wsum = 0.0;
     for (int64_t i = lo; i < hi; i++) {
       const double t = (i - center);
-      const double x = t / TAPS_HALF;
+      const double x = t / (double)taps_half;
       if (x <= -1.0 || x >= 1.0) continue;
       const double window = bessel_i0(beta * std::sqrt(1.0 - x * x)) / i0b;
       const double arg = 2.0 * cutoff * t;

@@ -7,6 +7,7 @@ reference uses gain=1e-3 to near-zero residual branches).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -19,9 +20,6 @@ def rms_norm(x: jnp.ndarray, gamma: jnp.ndarray | None = None) -> jnp.ndarray:
     if gamma is not None:
         out = out * gamma.astype(x.dtype)
     return out
-
-
-import jax  # noqa: E402  (used by rms_norm above)
 
 
 class RMSNorm(nn.Module):

@@ -82,3 +82,51 @@ class TestStarRating:
         native_sr = bm.sr  # dispatches to native when available
         py_sr = _star_rating_py(bm)
         assert abs(native_sr - py_sr) < 1e-6
+
+
+class TestExtensibleWavNative:
+    def test_extensible_float32_via_subformat_guid(self, native, rng):
+        """the NATIVE decoder must read the SubFormat GUID too — the Python
+        fallback was fixed first and load_wave PREFERS the native path, so a
+        native-only regression would silently feed noise to the featurizer"""
+        wave = np.tanh(rng.normal(size=4096)).astype(np.float32) * 0.8
+        payload = wave.tobytes()
+        guid = struct.pack("<H", 3) + b"\x00\x00" + bytes(12)
+        fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 16384, 16384 * 4, 4, 32)
+        fmt += struct.pack("<HHI", 22, 32, 4) + guid
+        data = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        got, rate = native.wav_decode(data)
+        assert rate == 16384
+        np.testing.assert_allclose(np.asarray(got).reshape(-1), wave, atol=1e-6)
+
+    def test_sub_byte_depth_rejected_not_sigfpe(self, native):
+        """4-bit ADPCM-style depths previously divided by ZERO bytes-per-
+        frame (integer math) -> SIGFPE killing the process; must error"""
+        fmt = struct.pack("<HHIIHH", 1, 1, 16384, 16384, 1, 4)
+        payload = bytes(64)
+        data = (
+            b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(payload))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        with pytest.raises(Exception):
+            native.wav_decode(data)
+
+
+class TestResampleAliasing:
+    def test_downsample_rejects_out_of_band_tone(self, native):
+        """a tone ABOVE the output Nyquist must be attenuated, not aliased
+        into band — the Kaiser window half-width must stretch with the
+        decimation ratio or the sinc truncates after a few sidelobes"""
+        rate_in, rate_out = 44100, 16384
+        t = np.arange(rate_in) / rate_in
+        tone = np.sin(2 * np.pi * 12000.0 * t).astype(np.float32)  # > 8192 Hz
+        out = native.resample(tone, rate_in, rate_out)
+        mid = np.asarray(out[1000:-1000])
+        assert np.abs(mid).max() < 0.02, np.abs(mid).max()
