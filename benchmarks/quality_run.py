@@ -220,6 +220,11 @@ def main() -> None:
         "score segmented tempo inference end-to-end",
     )
     ap.add_argument(
+        "--snap-divisor", type=int, default=0,
+        help="snap generated hit times to 1/N of the inferred beat during "
+        "predict (0 = off): quantifies snapping's effect on onset F1",
+    )
+    ap.add_argument(
         "--reuse", action="store_true",
         help="skip stages whose best checkpoint already exists in --outdir. "
         "Only sound for stages that finished their fit: a stage interrupted "
@@ -369,7 +374,7 @@ def main() -> None:
             cli("predict", "--model-path", str(artifact), "--audio-file", str(wav),
                 "--diff", *(str(v) for v in REQUESTED),
                 "--sample-steps", str(args.sample_steps), "--seed", str(k),
-                "--infer-tempo")
+                "--infer-tempo", "--snap-divisor", str(args.snap_divisor))
         finally:
             os.chdir(cwd)
         osz = max(gen_dir.glob("*.osz"), key=lambda p: p.stat().st_mtime)
