@@ -180,6 +180,23 @@ def score_generated(gen_text: str, true_text: str, requested: tuple) -> dict:
         if len(true_bls) > 1 and len(gen_bls) > 1:
             out["bpm2_rel_err"] = _rel_err(gen_bls[-1], true_bls[-1])
 
+    # rhythm distribution distance: 1-D Wasserstein (quantile-mean EMD)
+    # between generated and ground-truth inter-onset-interval
+    # distributions — a distribution-level check that the generated rhythm
+    # matches the held-out signal statistics (VERDICT r2 item 6), robust to
+    # the onset count differing
+    def _ioi(objs) -> np.ndarray:
+        ts = np.sort([o["t"] for o in objs])
+        d = np.diff(ts)
+        return d[(d > 10) & (d < 4000)]
+
+    gi, ti = _ioi(gen), _ioi(true)
+    if len(gi) > 3 and len(ti) > 3:
+        q = np.linspace(0.0, 1.0, 64)
+        out["ioi_emd_ms"] = float(
+            np.abs(np.quantile(gi, q) - np.quantile(ti, q)).mean()
+        )
+
     # cursor plausibility (circles + slider heads carry positions)
     pos = np.array([[o["x"], o["y"]] for o in gen if o["kind"] != "spinner"])
     tpos = np.array([[o["x"], o["y"]] for o in true if o["kind"] != "spinner"])
@@ -223,6 +240,15 @@ def main() -> None:
         "--snap-divisor", type=int, default=0,
         help="snap generated hit times to 1/N of the inferred beat during "
         "predict (0 = off): quantifies snapping's effect on onset F1",
+    )
+    ap.add_argument(
+        "--gate", action="store_true",
+        help="regression gate (VERDICT r2 item 6): after scoring, check the "
+        "quality metrics against thresholds calibrated to the round-2 "
+        "full-size run (onset F1 .93, sr err .15, slider frac within .02, "
+        "92%% in-field) with slack for run-to-run variance, and exit "
+        "nonzero on any failure. Use with the full default config — smoke "
+        "configs underfit and will fail it",
     )
     ap.add_argument(
         "--reuse", action="store_true",
@@ -408,6 +434,40 @@ def main() -> None:
         for k in keys
     })
     print(json.dumps(metrics))
+
+    if args.gate:
+        def within(key, lo=None, hi=None, default=float("nan")):
+            v = metrics.get(key, default)
+            ok = not np.isnan(v)
+            if lo is not None:
+                ok = ok and v >= lo
+            if hi is not None:
+                ok = ok and v <= hi
+            return f"{key}={v:.3f}" + ("" if ok else " FAIL"), ok
+
+        slider_dev = abs(
+            metrics.get("gen/gen_slider_frac", np.nan)
+            - metrics.get("gen/true_slider_frac", np.nan)
+        )
+        checks = [
+            within("onset_f1", lo=0.85),
+            within("gen/sr_err", hi=0.75),
+            within("gen/pos_in_field_rate", lo=0.85),
+            within("gen/ar_err", hi=1.0),
+            within("gen/od_err", hi=1.0),
+            within("gen/cs_err", hi=1.0),
+            within("gen/hp_err", hi=1.0),
+            within("gen/ioi_emd_ms", hi=150.0),
+            (f"slider_frac_dev={slider_dev:.3f}"
+             + ("" if slider_dev <= 0.12 else " FAIL"),
+             bool(slider_dev <= 0.12)),
+        ]
+        failed = [msg for msg, ok in checks if not ok]
+        verdict = {"gate": "FAIL" if failed else "PASS",
+                   "checks": [msg for msg, _ in checks]}
+        print(json.dumps(verdict), file=sys.stderr)
+        if failed:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -126,6 +126,65 @@ def measure_latent_step(
     }
 
 
+def measure_style_step(
+    batch: int = 512, steps: int = 20, peak: float = 197e12
+) -> dict:
+    """style (stage-3) train step at the reference config (batch 512 —
+    style/config.yml:5). The model is a small MLP: the number that matters
+    is ms/step (epoch wall-clock), not MFU — reported anyway for the record."""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.models.style.model import StyleModelArgs
+    from osu_dreamer_tpu.models.style.train import (
+        StyleTrainArgs,
+        init_style_training,
+    )
+
+    key = jax.random.PRNGKey(0)
+    args = StyleModelArgs()
+    _, state, train_step = init_style_training(args, StyleTrainArgs(), key)
+    k1, k2 = jax.random.split(key)
+    s = jax.device_put(jax.random.normal(k1, (batch, args.style_dim)))
+    labels = jax.device_put(jax.random.uniform(k2, (batch, 5)) * 8)
+    compiled = train_step.lower(state, s, labels).compile()
+    cost = compiled.cost_analysis()
+    flops = float((cost or {}).get("flops", 0.0))
+    state, _ = compiled(state, s, labels)
+    jax.block_until_ready(state.params)
+    t0 = time.time()
+    for _ in range(steps):
+        state, _ = compiled(state, s, labels)
+    jax.block_until_ready(state.params)
+    dt = (time.time() - t0) / steps
+    return {
+        "ms_per_step": round(dt * 1e3, 2),
+        "xla_flops_tf": round(flops / 1e12, 4),
+        "mfu": round(flops / peak / dt, 4) if flops else None,
+    }
+
+
+def write_all_stages(path: str, steps: int = 10) -> dict:
+    """measure all three stage train steps at their reference configs and
+    write benchmarks/trainstep_result.json (consumed by bench.py)"""
+    out = {}
+    d = measure_train_step(steps=steps)
+    out.update({"ms_per_step": d["ms_per_step"], "mfu": d["mfu"],
+                "xla_flops_tf": d["xla_flops_tf"]})
+    lt = measure_latent_step(steps=steps)
+    st = measure_style_step(steps=max(steps, 20))
+    out["latent"] = lt
+    out["style"] = st
+    out["source"] = (
+        "benchmarks/trainstep_bench.py --write on v5e: denoiser batch 128 x "
+        "seq 152, latent batch 32 x seq 2052, style batch 512 (reference "
+        "configs); pipelined steps, XLA cost-analysis flops vs 197 TFLOP/s "
+        "bf16 peak"
+    )
+    Path(path).write_text(json.dumps(out, indent=1))
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -135,7 +194,20 @@ def main() -> None:
                     help="chip peak bf16 FLOP/s (v5e default)")
     ap.add_argument("--trace", type=str, default=None,
                     help="capture a jax.profiler trace of the timed loop here")
+    ap.add_argument("--hlo", type=str, default=None,
+                    help="dump the compiled step's HLO text here (match "
+                         "profile_summary --exact op names against it)")
+    ap.add_argument("--write", action="store_true",
+                    help="measure ALL three stage train steps and write "
+                         "benchmarks/trainstep_result.json for bench.py")
     args = ap.parse_args()
+
+    if args.write:
+        out = write_all_stages(
+            str(Path(__file__).parent / "trainstep_result.json"), steps=args.steps
+        )
+        print(json.dumps(out))
+        return
 
     import jax
     import jax.numpy as jnp
@@ -172,6 +244,9 @@ def main() -> None:
     cost = compiled.cost_analysis()
     flops = float((cost or {}).get("flops", 0.0))
     log(f"compile: {time.time() - t0:.1f}s; XLA flops/step: {flops / 1e12:.3f} TF")
+    if args.hlo:
+        Path(args.hlo).write_text(compiled.as_text())
+        log(f"HLO dumped to {args.hlo}")
 
     state, metrics = compiled(state, batch)
     jax.block_until_ready(state.params)

@@ -84,18 +84,36 @@ def make_mapset(
     else:
         sections = [(offset, offset, bpm)]
 
-    # rhythm grid: each beat hits w.p. .8, half-beats w.p. .25
+    # rhythm grid with music-like density structure (VERDICT r2 item 6):
+    # a per-song base density, measure-level modulation (sparse "verse"
+    # measures vs dense "kiai" measures), and occasional 1/4-note stream
+    # measures — instead of a single iid coin per beat
+    base_p = float(rng.uniform(0.65, 0.9))
+    half_p = float(rng.uniform(0.15, 0.4))
     grid: list[float] = []
     for si, (start, first_beat, sec_bpm) in enumerate(sections):
         sec_end = sections[si + 1][0] if si + 1 < len(sections) else end_ms
         sec_beat = 60_000.0 / sec_bpm
         t = first_beat
+        beat_i = 0
+        measure_gain = 1.0
+        stream_measure = False
         while t < sec_end:
-            if rng.random() < 0.8:
+            if beat_i % 4 == 0:  # new measure: redraw its density character
+                u = rng.random()
+                measure_gain = 0.45 if u < 0.2 else (1.25 if u < 0.45 else 1.0)
+                stream_measure = rng.random() < 0.12
+            if rng.random() < min(base_p * measure_gain, 0.97):
                 grid.append(t)
-            if rng.random() < 0.25 and t + sec_beat / 2 < sec_end:
+            if stream_measure:
+                # 1/4 stream: fill every quarter of this beat
+                for q in (0.25, 0.5, 0.75):
+                    if t + sec_beat * q < sec_end:
+                        grid.append(t + sec_beat * q)
+            elif rng.random() < half_p * measure_gain and t + sec_beat / 2 < sec_end:
                 grid.append(t + sec_beat / 2)
             t += sec_beat
+            beat_i += 1
     grid.sort()
 
     def beat_len_at(tq: float) -> float:
@@ -132,25 +150,43 @@ def make_mapset(
             new_combo = 4 if combo % 8 == 0 else 0
             combo += 1
             beat_len = beat_len_at(tg)
+            # hitsound pattern, not iid noise: claps on offbeats (ranked-map
+            # convention), occasional finish at combo starts, some whistles
+            hs = 8 if combo % 2 == 0 else (4 if new_combo and rng.random() < 0.5
+                                           else (2 if rng.random() < 0.15 else 0))
             r = rng.random()
             if r < 0.65:  # circle
-                objs.append(f"{x},{y},{tg:.0f},{1 + new_combo},0,0:0:0:0:")
+                objs.append(f"{x},{y},{tg:.0f},{1 + new_combo},{hs},0:0:0:0:")
                 t_free = tg + 1.0
                 onsets.append(tg)
-            elif r < 0.92:  # slider spanning ~1 beat
-                length = 100.0  # px; duration = length/(mult*100)*beat_len
-                x2 = int(np.clip(x + rng.choice([-1, 1]) * 90, 20, 490))
-                y2 = int(np.clip(y + rng.integers(-60, 60), 20, 370))
+            elif r < 0.92:  # slider: varied shape (L/P/B), span and repeats
+                beats = float(rng.choice([0.5, 1.0, 1.0, 1.5, 2.0]))
+                length = beats * 140.0  # px at mult 1.4 -> `beats` beats long
+                slides = 2 if rng.random() < 0.15 else 1
+                ang2 = rng.uniform(0, 2 * np.pi)
+                ex = int(np.clip(x + length * np.cos(ang2), 20, 490))
+                ey = int(np.clip(y + 0.6 * length * np.sin(ang2), 20, 370))
+                shape = rng.random()
+                if shape < 0.45:  # straight
+                    curve = f"L|{ex}:{ey}"
+                elif shape < 0.8:  # circular arc through a bowed midpoint
+                    mx = (x + ex) / 2 - (ey - y) * 0.3
+                    my = (y + ey) / 2 + (ex - x) * 0.3
+                    curve = f"P|{int(np.clip(mx, 10, 500))}:{int(np.clip(my, 10, 374))}|{ex}:{ey}"
+                else:  # bezier with one interior control point
+                    cx = int(np.clip(x + rng.integers(-80, 80), 10, 500))
+                    cy = int(np.clip(y + rng.integers(-80, 80), 10, 374))
+                    curve = f"B|{cx}:{cy}|{ex}:{ey}"
                 objs.append(
-                    f"{x},{y},{tg:.0f},{2 + new_combo},0,L|{x2}:{y2},1,{length}"
+                    f"{x},{y},{tg:.0f},{2 + new_combo},{hs},{curve},{slides},{length:.0f}"
                 )
-                # slide duration at mult 1.4: 100/140*beat_len
-                t_free = tg + 100.0 / 140.0 * beat_len + 1.0
-                pos = np.array([x2, y2], float)
+                # slide duration at mult 1.4: length/140*beat_len per slide
+                t_free = tg + slides * length / 140.0 * beat_len + 1.0
+                pos = np.array([ex, ey], float) if slides % 2 == 1 else np.array([x, y], float)
                 onsets.append(tg)
             else:  # spinner over ~2 beats
                 t_end = tg + 2 * beat_len
-                objs.append(f"256,192,{tg:.0f},{8 + new_combo},0,{t_end:.0f}")
+                objs.append(f"256,192,{tg:.0f},{8 + new_combo},{hs},{t_end:.0f}")
                 t_free = t_end + beat_len / 2
                 onsets.append(tg)
         if d == 0:

@@ -103,14 +103,46 @@ def _constants(Lp: int, H: int, D: int, dtype):
     C = jnp.tile(jnp.concatenate([cos, cos], -1), (1, H)).astype(dtype)
     Sn = jnp.tile(jnp.concatenate([-sin, sin], -1), (1, H)).astype(dtype)
 
-    idx = jnp.arange(HD)
+    # The half-swap permutation is block-diagonal (one D-block per head) with
+    # every block identical, so x @ P factors into per-lane-tile matmuls with
+    # ONE shared (bs, bs) block: bs = the smallest multiple of D that is
+    # lane-tile (128) aligned. This cuts the permutation matmul from
+    # 2*L*HD^2 flops to 2*L*HD*bs — 8x at HD=1024/D=64 — while staying a
+    # pure MXU op. Falls back to the full (HD, HD) matrix when HD isn't
+    # divisible by the aligned block.
+    bs = D
+    while bs % 128 != 0:
+        bs += D
+    if HD % bs != 0:
+        bs = HD
+    idx = jnp.arange(bs)
     swapped = (idx // D) * D + ((idx % D) + D // 2) % D
     P = (idx[:, None] == swapped[None, :]).astype(dtype)  # x @ P = half-swap
 
+    idx = jnp.arange(HD)
     head = idx // D
     M = (head[:, None] == jnp.arange(H)[None, :]).astype(jnp.float32) / D
     E = (jnp.arange(H)[:, None] == head[None, :]).astype(jnp.float32)
     return C, Sn, P, M, E
+
+
+def _apply_half_swap(n, P):
+    """x @ blockdiag(P, P, ...): per-128-lane-tile matmuls with the shared
+    permutation block (exact — P is a 0/1 permutation)"""
+    bs = P.shape[0]
+    HD = n.shape[1]
+    if bs == HD:
+        return jax.lax.dot_general(
+            n, P, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    parts = [
+        jax.lax.dot_general(
+            n[:, i * bs : (i + 1) * bs], P,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        for i in range(HD // bs)
+    ]
+    return jnp.concatenate(parts, axis=1)
 
 
 def _norm_rope(x, C, Sn, P, M, E, gamma):
@@ -124,23 +156,31 @@ def _norm_rope(x, C, Sn, P, M, E, gamma):
         inv, E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # (Lp, HD)
     n = (xf * invb).astype(x.dtype) * gamma  # bf16, matching the XLA path
-    swapped = jax.lax.dot_general(
-        n, P, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(x.dtype)  # exact: P is a permutation
+    swapped = _apply_half_swap(n, P).astype(x.dtype)
     r = n * C + swapped * Sn
-    return r, xf, invb
+    return r, inv
 
 
 def _fwd_kernel(
     qkv_ref, C_ref, Sn_ref, P_ref, M_ref, E_ref, gq_ref, gk_ref, o_ref,
-    *, n_heads, head_dim, k_len, scale,
+    *refs, n_heads, head_dim, k_len, scale,
 ):
+    """forward; with ``refs`` = (rq_ref, rk_ref, iq_ref, ik_ref) the rotated
+    q/k rows and per-head inverse-RMS stats are ALSO written out as
+    residuals so the backward kernel skips the whole norm+rope recompute
+    (~35% of its matmul passes at the training config)"""
     H, D = n_heads, head_dim
     HD = H * D
     x = qkv_ref[0]
     C, Sn, P, M, E = C_ref[...], Sn_ref[...], P_ref[...], M_ref[...], E_ref[...]
-    rq, _, _ = _norm_rope(x[:, :HD], C, Sn, P, M, E, gq_ref[...])
-    rk, _, _ = _norm_rope(x[:, HD : 2 * HD], C, Sn, P, M, E, gk_ref[...])
+    rq, inv_q = _norm_rope(x[:, :HD], C, Sn, P, M, E, gq_ref[...])
+    rk, inv_k = _norm_rope(x[:, HD : 2 * HD], C, Sn, P, M, E, gk_ref[...])
+    if refs:
+        rq_ref, rk_ref, iq_ref, ik_ref = refs
+        rq_ref[0] = rq
+        rk_ref[0] = rk
+        iq_ref[0] = inv_q
+        ik_ref[0] = inv_k
 
     Lk = qkv_ref.shape[1]
     valid = (
@@ -169,7 +209,8 @@ def _fwd_kernel(
 
 
 def _bwd_kernel(
-    qkv_ref, do_ref, C_ref, Sn_ref, P_ref, M_ref, E_ref, gq_ref, gk_ref,
+    qkv_ref, do_ref, rq_ref, rk_ref, iq_ref, ik_ref,
+    C_ref, Sn_ref, P_ref, M_ref, E_ref, gq_ref, gk_ref,
     dqkv_ref, dgq_ref, dgk_ref,
     *, n_heads, head_dim, k_len, scale,
 ):
@@ -178,8 +219,16 @@ def _bwd_kernel(
     x = qkv_ref[0]
     C, Sn, P, M, E = C_ref[...], Sn_ref[...], P_ref[...], M_ref[...], E_ref[...]
     gq, gk = gq_ref[...], gk_ref[...]
-    rq, xq_f, invb_q = _norm_rope(x[:, :HD], C, Sn, P, M, E, gq)
-    rk, xk_f, invb_k = _norm_rope(x[:, HD : 2 * HD], C, Sn, P, M, E, gk)
+    # residuals from the forward kernel: rotated rows + per-head 1/rms
+    rq, rk = rq_ref[0], rk_ref[0]
+    invb_q = jax.lax.dot_general(
+        iq_ref[0], E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    invb_k = jax.lax.dot_general(
+        ik_ref[0], E, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    xq_f = x[:, :HD].astype(jnp.float32)
+    xk_f = x[:, HD : 2 * HD].astype(jnp.float32)
 
     Lk = qkv_ref.shape[1]
     valid = (
@@ -228,12 +277,11 @@ def _bwd_kernel(
 
     # phase 2: packed rope^T + norm^T back to the qkv projection output
     def back(dr, xf, invb, gamma, out_lo, dg_ref):
-        # rope^T (P is its own inverse/transpose)
+        # rope^T (P is its own inverse/transpose). The swap matmul runs in
+        # bf16 — its result lands in the bf16 dqkv output anyway, and bf16
+        # MXU passes are 2x the f32 rate.
         Cf, Snf = C.astype(jnp.float32), Sn.astype(jnp.float32)
-        gn = dr * Cf + jax.lax.dot_general(
-            dr * Snf, P.astype(jnp.float32),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
+        gn = dr * Cf + _apply_half_swap((dr * Snf).astype(x.dtype), P)
         nhat = xf * invb  # pre-gamma normalized values
         # (8, HD) block with the sum in row 0 (min sublane tile is 8)
         s = jnp.sum(gn * nhat, axis=0)[None, :]
@@ -274,30 +322,50 @@ def _const_specs(C, Sn, P, M, E, gq, gk):
     return [full(C), full(Sn), full(P), full(M), full(E), full(gq), full(gk)]
 
 
-def _fwd_impl(qkv, q_gamma, k_gamma, n_heads, interpret):
+def _fwd_impl(qkv, q_gamma, k_gamma, n_heads, interpret, save_residuals=False):
     qkv, consts, B, L, Lp, HD, D = _prep(qkv, q_gamma, k_gamma, n_heads)
+    H = n_heads
     qkv_spec = pl.BlockSpec(
         (1, Lp, 3 * HD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
     out_spec = pl.BlockSpec((1, Lp, HD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
+    out_specs = [out_spec]
+    out_shapes = [jax.ShapeDtypeStruct((B, Lp, HD), qkv.dtype)]
+    if save_residuals:
+        inv_spec = pl.BlockSpec(
+            (1, Lp, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [out_spec, out_spec, inv_spec, inv_spec]
+        out_shapes += [
+            jax.ShapeDtypeStruct((B, Lp, HD), qkv.dtype),  # rq
+            jax.ShapeDtypeStruct((B, Lp, HD), qkv.dtype),  # rk
+            jax.ShapeDtypeStruct((B, Lp, H), jnp.float32),  # 1/rms q
+            jax.ShapeDtypeStruct((B, Lp, H), jnp.float32),  # 1/rms k
+        ]
+    res = pl.pallas_call(
         partial(
             _fwd_kernel, n_heads=n_heads, head_dim=D, k_len=L,
             scale=1.0 / (D ** 0.5),
         ),
         grid=(B,),
         in_specs=[qkv_spec] + _const_specs(*consts),
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Lp, HD), qkv.dtype),
+        out_specs=out_specs,
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        # canonical attention flops only — the permutation/stat matmuls are
+        # implementation overhead and counting them would inflate reported
+        # MFU (XLA's cost analysis sums these estimates)
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * n_heads * Lp * Lp * D + 8 * B * Lp * HD * HD // 64,
+            flops=4 * B * n_heads * Lp * Lp * D,
             bytes_accessed=8 * B * Lp * HD,
             transcendentals=B * n_heads * Lp * Lp,
         ),
         interpret=interpret,
     )(qkv, *consts)
-    return out[:, :L]
+    if save_residuals:
+        out, rq, rk, iq, ik = res
+        return out[:, :L], (rq, rk, iq, ik)
+    return res[0][:, :L]
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -309,13 +377,16 @@ def fused_norm_rope_attention(qkv, q_gamma, k_gamma, n_heads, interpret=False):
 
 
 def _vjp_fwd(qkv, q_gamma, k_gamma, n_heads, interpret):
-    out = _fwd_impl(qkv, q_gamma, k_gamma, n_heads, interpret)
-    return out, (qkv, q_gamma, k_gamma)
+    out, (rq, rk, iq, ik) = _fwd_impl(
+        qkv, q_gamma, k_gamma, n_heads, interpret, save_residuals=True
+    )
+    return out, (qkv, q_gamma, k_gamma, rq, rk, iq, ik)
 
 
 def _vjp_bwd(n_heads, interpret, res, g):
-    qkv_in, q_gamma, k_gamma = res
+    qkv_in, q_gamma, k_gamma, rq, rk, iq, ik = res
     qkv, consts, B, L, Lp, HD, D = _prep(qkv_in, q_gamma, k_gamma, n_heads)
+    H = n_heads
     gp = g.astype(qkv.dtype)
     if Lp != L:
         gp = jnp.pad(gp, ((0, 0), (0, Lp - L), (0, 0)))
@@ -323,6 +394,7 @@ def _vjp_bwd(n_heads, interpret, res, g):
         (1, Lp, 3 * HD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
     )
     do_spec = pl.BlockSpec((1, Lp, HD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+    inv_spec = pl.BlockSpec((1, Lp, H), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     dg_spec = pl.BlockSpec((1, 8, HD), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
     dqkv, dgq, dgk = pl.pallas_call(
         partial(
@@ -330,7 +402,8 @@ def _vjp_bwd(n_heads, interpret, res, g):
             scale=1.0 / (D ** 0.5),
         ),
         grid=(B,),
-        in_specs=[qkv_spec, do_spec] + _const_specs(*consts),
+        in_specs=[qkv_spec, do_spec, do_spec, do_spec, inv_spec, inv_spec]
+        + _const_specs(*consts),
         out_specs=[qkv_spec, dg_spec, dg_spec],
         out_shape=[
             jax.ShapeDtypeStruct((B, Lp, 3 * HD), qkv.dtype),
@@ -338,13 +411,14 @@ def _vjp_bwd(n_heads, interpret, res, g):
             jax.ShapeDtypeStruct((B, 8, HD), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(dimension_semantics=("parallel",)),
+        # canonical bwd flops only (see the fwd call's cost_estimate note)
         cost_estimate=pl.CostEstimate(
-            flops=10 * B * n_heads * Lp * Lp * D + 16 * B * Lp * HD * HD // 64,
+            flops=10 * B * n_heads * Lp * Lp * D,
             bytes_accessed=16 * B * Lp * HD,
             transcendentals=B * n_heads * Lp * Lp,
         ),
         interpret=interpret,
-    )(qkv, gp, *consts)
+    )(qkv, gp, rq, rk, iq, ik, *consts)
     # gammas are (D,), shared across heads: fold batch, pad rows, head tiles
     dq_gamma = dgq.sum((0, 1)).reshape(n_heads, D).sum(0)
     dk_gamma = dgk.sum((0, 1)).reshape(n_heads, D).sum(0)

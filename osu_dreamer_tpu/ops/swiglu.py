@@ -101,6 +101,15 @@ def _kernel(x_hbm, dww, dwb, wvg, bvg, wout, bout, out_ref, xs, sem, *, tile, ra
     out_ref[0, :, :] = (out + bout[0, :].astype(jnp.float32)).astype(out_ref.dtype)
 
 
+def _fwd_vmem_bytes(C: int, H: int, K: int, tile: int) -> int:
+    """VMEM footprint of the forward kernel: resident weights + one tile's
+    f32 intermediates + input scratch/output blocks"""
+    E = tile + 2 * _HALO
+    weights = 2 * (K * C + C + C * 2 * H + 2 * H + H * C)
+    work = 4 * E * 2 * H + 4 * E * H + 4 * E * C + 2 * E * C * 3
+    return weights + work
+
+
 def _fused_swiglu_fwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias, *, tile, interpret):
     B, L, C = x.shape
     K, _ = dw_kernel.shape
@@ -108,6 +117,9 @@ def _fused_swiglu_fwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel
     H = out_kernel.shape[0]
 
     assert radius <= _HALO, f"radius {radius} exceeds kernel halo {_HALO}"
+    from ._tiles import shrink_tile_to_budget
+
+    tile = shrink_tile_to_budget(lambda t: _fwd_vmem_bytes(C, H, K, t), tile) or 8
     tile = max(8, -(-min(tile, L) // 8) * 8)  # sublane-aligned tile
     Lp = -(-L // tile) * tile
     # front pad _HALO, back pad to Lp + _HALO: every DMA window is in-bounds
@@ -341,6 +353,194 @@ def _fused_swiglu_bwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel
     )
 
 
+def _partial_bwd_kernel(
+    x_hbm, go_hbm, dww, dwb, wvg, bvg, wout,
+    dx_ref, dvg_ref, hn_ref, y_ref, ddw_ref, ddwb_ref, dbvg_ref, dbout_ref,
+    xs, gos, sem_x, sem_g, *, tile, radius, h_dim,
+):
+    """partial flash-style backward for dims whose full weight-grad
+    accumulators don't fit VMEM (the denoiser FFN: C=512, H=1365 needs
+    ~8.4 MiB of f32 accumulators on top of the weights).
+
+    Emits dx plus the three intermediates XLA needs for the two big weight
+    matmuls — dvg, hn and the recomputed conv output y — and accumulates
+    only the SMALL grads (conv taps + biases) in VMEM. The elementwise
+    chain (silu/rms-norm backward) and both data-gradient matmuls stay
+    fused; dW_vg = y^T dvg and dW_out = hn^T dout run as two ordinary XLA
+    matmuls afterwards (they were at 75%+ MXU efficiency unfused anyway).
+    """
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    K = 2 * radius + 1
+    r = radius
+    E = tile + 2 * r
+
+    cp_x = pltpu.make_async_copy(x_hbm.at[b, pl.ds(t * tile, tile + 2 * _HALO)], xs, sem_x)
+    cp_g = pltpu.make_async_copy(go_hbm.at[b, pl.ds(t * tile, tile + 2 * _HALO)], gos, sem_g)
+    cp_x.start()
+    cp_g.start()
+
+    @pl.when((b == 0) & (t == 0))
+    def _zero_accums():
+        ddw_ref[...] = jnp.zeros_like(ddw_ref)
+        ddwb_ref[...] = jnp.zeros_like(ddwb_ref)
+        dbvg_ref[...] = jnp.zeros_like(dbvg_ref)
+        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+
+    cp_x.wait()
+    cp_g.wait()
+
+    f32 = jnp.float32
+
+    # ---- recompute the forward on the extended region (bit-matches _kernel)
+    base = _HALO - 2 * r
+    y = xs[base + r : base + r + E, :] * dww[r, :]
+    for k in range(K):
+        if k != r:
+            y += xs[base + k : base + k + E, :] * dww[k, :]
+    y += dwb[0, :]
+
+    vg = jnp.dot(y, wvg[:, :], preferred_element_type=f32)
+    vg += bvg[0, :].astype(f32)
+    v = vg[:, :h_dim]
+    g = vg[:, h_dim:]
+    sig = jax.nn.sigmoid(g)
+    sil = g * sig
+    spre = v * sil
+    mean_sq = jnp.mean(spre * spre, axis=-1, keepdims=True)
+    n = jax.lax.rsqrt(mean_sq + 1e-6)
+    hn = spre * n
+
+    # ---- backward chain
+    dout = gos[_HALO - r : _HALO - r + E, :]
+    dhn = jax.lax.dot_general(
+        dout, wout[:, :], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+    dspre = n * dhn - (n * n * n) * spre * jnp.mean(dhn * spre, axis=-1, keepdims=True)
+    dv = dspre * sil
+    dg = dspre * v * (sig * (1.0 + g * (1.0 - sig)))
+    dvg = jnp.concatenate([dv, dg], axis=-1).astype(y.dtype)
+    dY = jax.lax.dot_general(
+        dvg, wvg[:, :], (((1,), (1,)), ((), ())), preferred_element_type=f32,
+    )
+
+    dx = dY[2 * r : 2 * r + tile, :] * dww[0, :].astype(f32)
+    for k in range(1, K):
+        dx += dY[2 * r - k : 2 * r - k + tile, :] * dww[k, :].astype(f32)
+    dx_ref[0, :, :] = dx.astype(dx_ref.dtype)
+
+    # ---- core rows out to HBM for the XLA weight matmuls
+    core = slice(r, r + tile)
+    dvg_c = dvg[core, :]
+    dY_c = dY[core, :]
+    dvg_ref[0, :, :] = dvg_c
+    hn_ref[0, :, :] = hn[core, :].astype(hn_ref.dtype)
+    y_ref[0, :, :] = y[core, :]
+
+    # ---- small grads accumulate in VMEM
+    dbout_ref[0, :] += jnp.sum(dout[core, :].astype(f32), axis=0)
+    dbvg_ref[0, :] += jnp.sum(dvg_c.astype(f32), axis=0)
+    for k in range(K):
+        xk = xs[base + k + r : base + k + r + tile, :]
+        ddw_ref[k, :] += jnp.sum(dY_c * xk.astype(f32), axis=0)
+    ddwb_ref[0, :] += jnp.sum(dY_c, axis=0)
+
+
+def _fused_swiglu_partial_bwd_impl(
+    x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, grad_out,
+    *, tile, interpret,
+):
+    """-> (dx, ddw, ddwb, dwvg, dbvg, dwout, dbout) with the two big weight
+    matmuls computed by XLA from kernel-emitted dvg/hn/y"""
+    B, L, C = x.shape
+    K, _ = dw_kernel.shape
+    radius = K // 2
+    H = out_kernel.shape[0]
+
+    assert 2 * radius <= _HALO, f"2*radius {2 * radius} exceeds kernel halo {_HALO}"
+    tile = max(8, -(-min(tile, L) // 8) * 8)
+    Lp = -(-L // tile) * tile
+    pad = ((0, 0), (_HALO, Lp - L + _HALO), (0, 0))
+    xp = jnp.pad(x, pad)
+    gop = jnp.pad(grad_out.astype(x.dtype), pad)
+
+    f32 = jnp.float32
+    const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+    row = lambda w: pl.BlockSpec((1, tile, w), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_partial_bwd_kernel, tile=tile, radius=radius, h_dim=H),
+        grid=(B, Lp // tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            const((K, C)), const((1, C)), const((C, 2 * H)), const((1, 2 * H)),
+            const((H, C)),
+        ],
+        out_specs=[
+            row(C), row(2 * H), row(H), row(C),
+            const((K, C)), const((1, C)), const((1, 2 * H)), const((1, C)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Lp, C), x.dtype),       # dx
+            jax.ShapeDtypeStruct((B, Lp, 2 * H), x.dtype),   # dvg
+            jax.ShapeDtypeStruct((B, Lp, H), x.dtype),       # hn
+            jax.ShapeDtypeStruct((B, Lp, C), x.dtype),       # y (post-conv)
+            jax.ShapeDtypeStruct((K, C), f32),               # d dw_kernel
+            jax.ShapeDtypeStruct((1, C), f32),               # d dw_bias
+            jax.ShapeDtypeStruct((1, 2 * H), f32),           # d vg_bias
+            jax.ShapeDtypeStruct((1, C), f32),               # d out_bias
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile + 2 * _HALO, C), x.dtype),
+            pltpu.VMEM((tile + 2 * _HALO, C), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(
+        xp,
+        gop,
+        dw_kernel.astype(x.dtype),
+        dw_bias.astype(x.dtype)[None],
+        vg_kernel.astype(x.dtype),
+        vg_bias.astype(x.dtype)[None],
+        out_kernel.astype(x.dtype),
+    )
+    dx, dvg, hn, y, ddw, ddwb, dbvg, dbout = outs
+    dx, dvg, hn, y = dx[:, :L], dvg[:, :L], hn[:, :L], y[:, :L]
+    # the two big weight grads as plain XLA matmuls over (B, L)
+    dims = (((0, 1), (0, 1)), ((), ()))
+    dwvg = jax.lax.dot_general(y, dvg, dims, preferred_element_type=f32)
+    go = grad_out.astype(x.dtype)
+    dwout = jax.lax.dot_general(hn, go, dims, preferred_element_type=f32)
+    return (
+        dx,
+        ddw.astype(dw_kernel.dtype),
+        ddwb[0].astype(dw_bias.dtype),
+        dwvg.astype(vg_kernel.dtype),
+        dbvg[0].astype(vg_bias.dtype),
+        dwout.astype(out_kernel.dtype),
+        dbout[0].astype(out_kernel.dtype),
+    )
+
+
+def _partial_bwd_vmem_bytes(C: int, H: int, K: int, tile: int) -> int:
+    """VMEM footprint of the partial backward: weights + small accumulators
+    + one tile's f32 intermediates + the emitted row blocks"""
+    E = tile + 2 * _HALO
+    weights = 2 * (K * C + C + C * 2 * H + 2 * H + H * C)
+    accums = 4 * (K * C + C + 2 * H + C)
+    work = 4 * E * (2 * H) * 2 + 4 * E * H * 3 + 4 * E * C * 2 + 2 * E * C * 2
+    emit = 2 * tile * (2 * H + H + C) * 2  # dvg/hn/y blocks, double-buffered
+    return weights + accums + work + emit
+
+
+def _feasible_partial_tile(C: int, H: int, K: int, tile: int) -> int | None:
+    from ._tiles import shrink_tile_to_budget
+
+    return shrink_tile_to_budget(lambda t: _partial_bwd_vmem_bytes(C, H, K, t), tile)
+
+
 def _bwd_vmem_bytes(C: int, H: int, K: int, tile: int) -> int:
     """rough VMEM footprint of the backward kernel: resident weights +
     accumulators + the big fp32 intermediates of one tile"""
@@ -361,10 +561,14 @@ def _feasible_bwd_tile(C: int, H: int, K: int, tile: int) -> int | None:
 
 
 def bwd_kernel_feasible(C: int, H: int, K: int, tile: int = DEFAULT_TILE) -> bool:
-    """whether the flash-style backward kernel will engage for these dims
-    (callers gate the training-path fused dispatch on this so a fwd-only
-    win is never eaten by the slower recompute fallback backward)"""
-    return _feasible_bwd_tile(C, H, K, tile) is not None
+    """whether a flash-style backward kernel (full-accumulator or partial)
+    will engage for these dims (callers gate the training-path fused
+    dispatch on this so a fwd-only win is never eaten by the slower
+    recompute fallback backward)"""
+    return (
+        _feasible_bwd_tile(C, H, K, tile) is not None
+        or _feasible_partial_tile(C, H, K, tile) is not None
+    )
 
 
 def _bwd(tile, interpret, residuals, grad_out):
@@ -380,6 +584,12 @@ def _bwd(tile, interpret, residuals, grad_out):
                 grad_out, tile=bwd_tile, interpret=interpret,
             )
             return dx, ddw, ddwb, dwvg, dbvg, dwout, dbout
+        partial_tile = _feasible_partial_tile(C, H, K, tile)
+        if partial_tile is not None:
+            return _fused_swiglu_partial_bwd_impl(
+                x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel,
+                grad_out, tile=partial_tile, interpret=interpret,
+            )
     # no depthwise conv (radius 0) or VMEM-infeasible dims: recompute-based
     # backward through the jnp reference (numerically identical forward)
     _, vjp = jax.vjp(swiglu_reference, *residuals)

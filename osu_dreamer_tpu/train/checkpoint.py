@@ -41,6 +41,7 @@ def save_train_checkpoint(
     state: TrainState,
     hparams: dict[str, Any],
     metric: Optional[float] = None,
+    progress: Optional[dict[str, int]] = None,
 ) -> None:
     """write a full training checkpoint (overwrites `path`).
 
@@ -60,9 +61,13 @@ def save_train_checkpoint(
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(tmp / _STATE_DIR, host_state)
 
-    (tmp / _META_FILE).write_text(
-        json.dumps({"hparams": hparams, "metric": metric, "step": int(state.step)})
-    )
+    meta = {"hparams": hparams, "metric": metric, "step": int(state.step)}
+    if progress is not None:
+        # data-stream position for EXACT resume: the epoch to restart in and
+        # how many batches of stage.train_stream(epoch) were already consumed
+        # (streams are deterministic per epoch: seeded with seed + epoch)
+        meta["progress"] = progress
+    (tmp / _META_FILE).write_text(json.dumps(meta))
 
     if path.exists():
         path.rename(old)
@@ -78,6 +83,15 @@ def restore_train_state(path: str | Path, template: TrainState) -> TrainState:
     with ocp.StandardCheckpointer() as ckptr:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
         return ckptr.restore(path / _STATE_DIR, target)
+
+
+def read_progress(path: str | Path) -> dict[str, int]:
+    """data-stream position stored with a checkpoint (empty for checkpoints
+    written before progress tracking, or saved without it)"""
+    meta_file = Path(path).absolute() / _META_FILE
+    if not meta_file.exists():
+        return {}
+    return json.loads(meta_file.read_text()).get("progress") or {}
 
 
 def load_train_checkpoint(path: str | Path) -> LoadedCheckpoint:
@@ -141,7 +155,11 @@ class BestCheckpointKeeper:
         return self.run_dir / "last"
 
     def update(
-        self, state: TrainState, hparams: dict[str, Any], metrics: dict[str, float]
+        self,
+        state: TrainState,
+        hparams: dict[str, Any],
+        metrics: dict[str, float],
+        progress: Optional[dict[str, int]] = None,
     ) -> bool:
         """save `last` (rate-limited); promote to `best` when the monitored
         metric improves (always saved). returns True when a new best was
@@ -162,7 +180,7 @@ class BestCheckpointKeeper:
         if not improved and now - self._last_save_t < self.min_save_interval_s:
             return False
 
-        save_train_checkpoint(self.last_path, state, hparams, value)
+        save_train_checkpoint(self.last_path, state, hparams, value, progress)
         self._last_save_t = now
 
         if improved:

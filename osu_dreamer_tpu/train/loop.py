@@ -17,7 +17,7 @@ from typing import Any, Callable, Iterable, Optional
 
 import jax
 
-from .checkpoint import BestCheckpointKeeper, restore_train_state
+from .checkpoint import BestCheckpointKeeper, read_progress, restore_train_state
 from .logging import MetricsLogger
 from .profiling import StepTimer, device_trace
 from .state import TrainState
@@ -80,32 +80,55 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
     )
 
     state = stage.state
+    start_epoch = skip_batches = 0
     if resume_from:
         state = restore_train_state(resume_from, state)
-        print(f"resumed from {resume_from} at step {int(state.step)}")
+        # exact resume: restart in the epoch the checkpoint was taken in and
+        # skip the batches already consumed — streams are deterministic per
+        # epoch (seeded seed + epoch), so together with the restored rng /
+        # optimizer / EMA state the continued run reproduces the
+        # uninterrupted run step for step (tests/test_train_infra.py)
+        prog = read_progress(resume_from)
+        start_epoch = int(prog.get("epoch", 0))
+        skip_batches = int(prog.get("batch_in_epoch", 0))
+        print(
+            f"resumed from {resume_from} at step {int(state.step)}"
+            + (f" (epoch {start_epoch}, {skip_batches} batches in)"
+               if prog else "")
+        )
     if stage.prepare_state is not None:
         state = stage.prepare_state(state)
 
     best = keeper.best_metric
     stale_epochs = 0
-    epoch = 0
+    epoch = start_epoch
     stop = False
     timer = StepTimer()
+    # the stream position a restart must resume from if interrupted NOW
+    progress = {"epoch": epoch, "batch_in_epoch": skip_batches}
 
     try:
         while not stop and (args.max_epochs < 0 or epoch < args.max_epochs):
             epoch_t0 = time.time()
-            n_batches = 0
+            n_batches = skip_batches
+            progress = {"epoch": epoch, "batch_in_epoch": n_batches}
             trace_ctx = (
                 device_trace(run_dir / "trace")
                 if epoch == args.trace_epoch
                 else nullcontext()
             )
             with trace_ctx:
-                for batch in stage.train_stream(epoch):
+                stream = stage.train_stream(epoch)
+                if skip_batches:
+                    import itertools
+
+                    stream = itertools.islice(stream, skip_batches, None)
+                    skip_batches = 0
+                for batch in stream:
                     state, metrics = stage.train_step(state, batch)
                     timer.tick()
                     n_batches += 1
+                    progress["batch_in_epoch"] = n_batches
                     step = int(state.step)
                     if step % args.log_every == 0:
                         scalars = {k: v for k, v in metrics.items()}
@@ -144,7 +167,10 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
             if run_val and stage.on_validation is not None:
                 stage.on_validation(state, int(state.step), logger)
 
-            improved = keeper.update(state, stage.hparams, val_metrics)
+            # state after epoch e == state before epoch e+1: a restart from
+            # this checkpoint begins cleanly at the next epoch
+            progress = {"epoch": epoch + 1, "batch_in_epoch": 0}
+            improved = keeper.update(state, stage.hparams, val_metrics, progress)
             logger.flush()
             dt = time.time() - epoch_t0
             print(
@@ -175,8 +201,10 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
         print(f"[{stage.name}] interrupted at step {int(state.step)}; last checkpoint kept")
     finally:
         # the rolling save is rate-limited; always leave a current `last`
+        # (with the exact stream position, so a mid-epoch interrupt resumes
+        # step-for-step)
         keeper.min_save_interval_s = 0.0
-        keeper.update(state, stage.hparams, {})
+        keeper.update(state, stage.hparams, {}, progress)
         logger.close()
 
     return state
