@@ -82,6 +82,52 @@ def make_wav(path: Path, seconds: float) -> bytes:
     return path.read_bytes()
 
 
+def measure_host_tail(svc, audio: bytes) -> dict:
+    """time the host-side pieces of one request (outside the service):
+    audio load + wave prep, one .osu decode on a sampled chart, zip"""
+    import io
+    import tempfile
+    import zipfile
+
+    import numpy as np
+
+    from osu_dreamer_tpu.audio import HOP_LEN, load_wave, prep_wave_for_model
+    from osu_dreamer_tpu.signal.serialize import decode_osu_entry
+
+    t0 = time.time()
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as tf:
+        tf.write(audio)
+        tmp = Path(tf.name)
+    wave = load_wave(tmp)
+    tmp.unlink()
+    buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, svc.chunk)
+    prep_s = time.time() - t0
+
+    # decode + zip timing on a synthetic 9-channel signal of the song's
+    # length (the service's own decode path is driven identically; noise
+    # charts carry few objects, so this is a LOWER bound on the decode cost
+    # of a trained artifact's dense charts)
+    L = max(1, -(-len(wave) // HOP_LEN))
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=(9, L)).astype(np.float32) * 0.1
+    row = np.asarray([5.0, 9.0, 8.0, 4.0, 6.0], np.float32)
+    t0 = time.time()
+    decode_osu_entry("probe", "probe", "audio.wav", 0, row, sig)
+    decode_s = time.time() - t0
+    t0 = time.time()
+    outz = io.BytesIO()
+    with zipfile.ZipFile(outz, "w") as z:
+        z.writestr("audio.wav", audio)
+    zip_s = time.time() - t0
+    total = prep_s + decode_s + zip_s
+    return {
+        "prep_s": round(prep_s, 3),
+        "decode_s_noise_chart": round(decode_s, 3),
+        "zip_s": round(zip_s, 3),
+        "host_ceiling_maps_per_min_per_core": round(60.0 / max(total, 1e-9), 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--clients", type=int, default=8)
@@ -107,6 +153,15 @@ def main() -> None:
     svc = GeneratorService(
         artifact, max_batch=args.max_batch, batch_window_ms=args.batch_window_ms
     )
+
+    # host-side cost probe (VERDICT r2 item 5): the per-request CPU tail
+    # (audio load + featurizer prep, .osu decode, .osz zip) runs on request
+    # threads and bounds throughput at 60/host_cost maps/min per host core —
+    # on a 1-core bench host the service plateaus at the HOST ceiling long
+    # before the chip's offline batched ceiling. Measuring it makes the gap
+    # attributable instead of mysterious.
+    host_probe = measure_host_tail(svc, audio)
+    log(f"host tail per request: {host_probe}")
 
     # warm the compile for every program the measurement can hit: the service
     # pads batches to powers of two, so send exactly S simultaneous requests
@@ -198,6 +253,8 @@ def main() -> None:
             "padding_fraction": round(d_pad / max(1, d_rows + d_pad), 3),
             "requests_enqueued": d_req,
         },
+        "host_tail": host_probe,
+        "host_cores": os.cpu_count(),
         "errors": errors[:3],
     }
     print(json.dumps(result))

@@ -561,14 +561,20 @@ def _feasible_bwd_tile(C: int, H: int, K: int, tile: int) -> int | None:
 
 
 def bwd_kernel_feasible(C: int, H: int, K: int, tile: int = DEFAULT_TILE) -> bool:
-    """whether a flash-style backward kernel (full-accumulator or partial)
-    will engage for these dims (callers gate the training-path fused
-    dispatch on this so a fwd-only win is never eaten by the slower
-    recompute fallback backward)"""
-    return (
-        _feasible_bwd_tile(C, H, K, tile) is not None
-        or _feasible_partial_tile(C, H, K, tile) is not None
-    )
+    """whether the FULL-accumulator flash backward will engage for these
+    dims (callers gate the training-path fused dispatch on this so a
+    fwd-only win is never eaten by a slower backward).
+
+    Deliberately does NOT count the partial backward: at the denoiser FFN's
+    dims (C=512, H=1365) the partial path was measured SLOWER than pure XLA
+    on v5e (69.1 vs 59.4 ms denoiser train step) — the block is
+    matmul-bound there and XLA's full-batch (B*L)-row weight/data matmuls
+    run at 75-90% MXU efficiency, which the VMEM-constrained tile-128
+    in-kernel matmuls cannot match. The partial kernel remains the backward
+    for explicit ``fused_swiglu`` calls at such dims (faster than the
+    recompute-through-reference fallback), but the training auto-dispatch
+    keeps the XLA path."""
+    return _feasible_bwd_tile(C, H, K, tile) is not None
 
 
 def _bwd(tile, interpret, residuals, grad_out):

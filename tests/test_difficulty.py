@@ -89,6 +89,74 @@ class TestScalePlausibility:
         assert 5.0 <= sr <= 8.0, sr
 
 
+def slider_osu(n: int = 80, beat_ms: int = 428, length: float = 140.0,
+               spacing: float = 100.0) -> str:
+    """slider-heavy map: one 1-beat slider every two beats (Normal-style)"""
+    objs = []
+    t, x, d = 1000, 100, 1
+    for _ in range(n):
+        x2 = int(min(max(x + d * length, 20), 492))
+        objs.append(f"{int(x)},192,{t},2,0,L|{x2}:192,1,{length}")
+        t += beat_ms * 2
+        x = x2 + d * spacing
+        if x > 450 or x < 60:
+            d *= -1
+            x = max(60, min(450, x))
+    head = pattern_osu(n=1).split("[HitObjects]")[0]
+    return head + "[HitObjects]\n" + "\n".join(objs) + "\n"
+
+
+def burst_osu(bursts: int = 40, bpm: int = 180) -> str:
+    """9-note 1/4 bursts separated by 2-beat gaps (tech-map rhythm)"""
+    q = int(60000 / bpm / 4)
+    objs = []
+    t, x, d = 1000, 100, 1
+    for _ in range(bursts):
+        for i in range(9):
+            objs.append(f"{int(x)},192,{t},{5 if i == 0 else 1},0,0:0:0:0:")
+            t += q
+            x += d * 30
+            if x > 450 or x < 60:
+                d *= -1
+        t += q * 8
+    head = pattern_osu(n=1).split("[HitObjects]")[0]
+    return head + "[HitObjects]\n" + "\n".join(objs) + "\n"
+
+
+class TestWidenedArchetypes:
+    """broader archetype coverage (VERDICT r2 item 7): slider-heavy, burst,
+    and slow-jump patterns plus a length-invariance property. Real-corpus
+    validation against rosu-pp still needs an egress host —
+    benchmarks/sr_crossval.py is the one-command harness for it."""
+
+    def test_slider_heavy_normal(self):
+        # 140 BPM 1/1 sliders, modest spacing: Easy/Normal band
+        sr = star_rating(Beatmap(slider_osu()))
+        assert 0.8 <= sr <= 2.5, sr
+
+    def test_burst_tech(self):
+        # 180 BPM 9-note 1/4 bursts with breathing room: Hard/Insane band
+        sr = star_rating(Beatmap(burst_osu()))
+        assert 3.5 <= sr <= 5.5, sr
+
+    def test_slow_jumps(self):
+        # 90 BPM 1/2 (330 ms) wide jumps: Hard band
+        sr = sr_of(n=150, interval_ms=330, spacing=260)
+        assert 2.3 <= sr <= 4.5, sr
+
+    def test_length_invariance(self):
+        # the weighted-peaks sum saturates: tripling a map's length at the
+        # same pattern must not materially raise its stars
+        short = sr_of(n=200, interval_ms=100, spacing=110)
+        long_ = sr_of(n=600, interval_ms=100, spacing=110)
+        assert abs(long_ - short) < 0.25, (short, long_)
+
+    def test_streams_denser_than_sliders(self):
+        assert sr_of(n=200, interval_ms=83, spacing=50) > star_rating(
+            Beatmap(slider_osu())
+        )
+
+
 class TestProperties:
     def test_monotone_in_bpm(self):
         srs = [sr_of(interval_ms=i) for i in (400, 250, 150, 100, 75)]
