@@ -234,10 +234,12 @@ def _render_audio(
     wave = chord + 0.005 * rng.normal(size=n)
 
     # percussive hit: a broadband noise burst (excites every resonator bin)
-    # plus a tonal snap, long enough (~20 ms decay) for the constant-Q bank
-    # to integrate it
-    click_len = int(0.08 * SR)
-    env = np.exp(-np.arange(click_len) / (0.02 * SR))
+    # plus a tonal snap. Short (~10 ms decay): 1/4-note streams at 180+ BPM
+    # space onsets ~80 ms apart, and longer clicks tile into a continuous
+    # wash that erases the onset/background contrast the featurizer (and
+    # the model) needs
+    click_len = int(0.04 * SR)
+    env = np.exp(-np.arange(click_len) / (0.01 * SR))
     click = env * (
         0.7 * rng.normal(size=click_len)
         + 0.5 * np.sin(2 * np.pi * 2400.0 * np.arange(click_len) / SR)

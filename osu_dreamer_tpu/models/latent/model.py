@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from osu_dreamer_tpu.audio import A_DIM
 from osu_dreamer_tpu.nn import AttnPool, FilmStack, RMSNorm, rms_norm, zeros_init
+from osu_dreamer_tpu.nn.blocks import DepthwiseConv
 from osu_dreamer_tpu.signal import HIT_DIM, NUM_LABELS, X_DIM
 
 
@@ -90,8 +91,10 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         k = 1 + 2 * (self.stride // 2)
-        x = nn.Conv(self.dim, (k,), feature_group_count=self.dim,
-                    dtype=self.dtype, name="dw")(x)
+        # tap-sum depthwise (param-compatible with the grouped nn.Conv it
+        # replaces): XLA grouped convs over narrow channels run at a few
+        # percent lane utilization on TPU — see nn.DepthwiseConv
+        x = DepthwiseConv(self.dim, k, dtype=self.dtype, name="dw")(x)
         B, L, C = x.shape
         return x.reshape(B, L // self.stride, self.stride, C).mean(axis=2)
 
@@ -107,8 +110,7 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = jnp.repeat(x, self.stride, axis=1)
         k = 1 + 2 * (self.stride // 2)
-        return nn.Conv(self.dim, (k,), feature_group_count=self.dim,
-                       dtype=self.dtype, name="dw")(x)
+        return DepthwiseConv(self.dim, k, dtype=self.dtype, name="dw")(x)
 
 
 class SkipMixer(nn.Module):

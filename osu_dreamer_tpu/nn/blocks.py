@@ -41,6 +41,37 @@ def _pallas_swiglu_default() -> bool:
         return False
 
 
+class DepthwiseConv(nn.Module):
+    """width-K SAME depthwise conv as a K-tap shifted sum.
+
+    Parameter-compatible with ``nn.Conv(features, (K,),
+    feature_group_count=features)`` — kernel (K, 1, C), bias (C,) — but
+    lowers to K fused multiply-adds instead of an XLA grouped convolution:
+    grouped convs over narrow channel counts run at a few percent lane
+    utilization on TPU (measured ~5 ms of the denoiser train step for the
+    u-head's 6/64-channel pair alone)."""
+
+    features: int
+    width: int = 3
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        K = self.width
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (K, 1, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", zeros_init, (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        k = kernel.astype(self.dtype)
+        L = x.shape[1]
+        lo = (K - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (lo, K - 1 - lo), (0, 0)))
+        out = sum(xp[:, i : i + L, :] * k[i, 0] for i in range(K))
+        return out + bias.astype(self.dtype)
+
+
 class SwiGLU(nn.Module):
     """depthwise-conv gated FFN: x -> dwconv -> [v|g] -> v*silu(g) -> norm -> out.
 

@@ -40,7 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .swiglu import _HALO, swiglu_reference
 
-DEFAULT_TILE = 512
+# starting tile for the VMEM-budget shrink search (ops/_tiles.py): narrow
+# stacks (the latent U-Net's C=128/H=341) fit 1024-row tiles, which doubles
+# the matmul M-dimension and halves grid-step overhead; wider dims shrink
+# automatically (C=384/H=1024 lands at 128 as before)
+DEFAULT_TILE = 1024
 
 
 def film_layer_reference(
@@ -110,18 +114,25 @@ def _fwd_kernel(
             y += h1[k : k + tile, :] * dww[k, :]
     y += dwb[0, :]
 
-    vg = jnp.dot(y, wvg[:, :], preferred_element_type=f32)
-    vg += bvg[0, :].astype(f32)
+    # gated FFN in the compute dtype (bf16 in production — matching the
+    # unfused reference path, which keeps v/silu(g) in the SwiGLU compute
+    # dtype and only lifts the norm STATISTICS to f32; halves the VPU width
+    # of the elementwise chain)
+    vg = (jnp.dot(y, wvg[:, :], preferred_element_type=f32)
+          + bvg[0, :].astype(f32)).astype(dt)
     v = vg[:, :h_dim]
     g = vg[:, h_dim:]
-    spre = v * (g * jax.nn.sigmoid(g))
-    n = jax.lax.rsqrt(jnp.mean(spre * spre, axis=-1, keepdims=True) + 1e-6)
-    hn = (spre * n).astype(dt)
+    # sigmoid stays f32 (Mosaic cannot lower the bf16 logistic); products bf16
+    sig = jax.nn.sigmoid(g.astype(f32)).astype(dt)
+    spre = v * (g * sig)
+    spre_f = spre.astype(f32)
+    n = jax.lax.rsqrt(jnp.mean(spre_f * spre_f, axis=-1, keepdims=True) + 1e-6)
+    hn = (spre_f * n).astype(dt)
 
-    o = jnp.dot(hn, wout[:, :], preferred_element_type=f32)
-    o += bout[0, :].astype(f32)
+    o = (jnp.dot(hn, wout[:, :], preferred_element_type=f32)
+         + bout[0, :].astype(f32))
 
-    # block norm + gated residual
+    # block norm + gated residual (f32 stats)
     n2 = jax.lax.rsqrt(jnp.mean(o * o, axis=-1, keepdims=True) + 1e-6)
     h2 = (o * n2).astype(dt) * g2[0, :].astype(dt)
     xc = xs[_HALO : _HALO + tile, :]
@@ -190,15 +201,17 @@ def _bwd_kernel(
             y += h1[k : k + E, :] * dww[k, :]
     y += dwb[0, :]
 
-    vg = jnp.dot(y, wvg[:, :], preferred_element_type=f32)
-    vg += bvg[0, :].astype(f32)
+    # gated FFN recompute in the compute dtype (bit-matches the fwd kernel
+    # and the unfused reference path; f32 for norm statistics only)
+    vg = (jnp.dot(y, wvg[:, :], preferred_element_type=f32)
+          + bvg[0, :].astype(f32)).astype(dt)
     v = vg[:, :h_dim]
     g = vg[:, h_dim:]
-    sig = jax.nn.sigmoid(g)
+    sig = jax.nn.sigmoid(g.astype(f32)).astype(dt)  # see fwd kernel note
     sil = g * sig
-    spre = v * sil
-    n = jax.lax.rsqrt(jnp.mean(spre * spre, axis=-1, keepdims=True) + 1e-6)
-    hn = (spre * n).astype(dt)
+    spre_f = (v * sil).astype(f32)
+    n = jax.lax.rsqrt(jnp.mean(spre_f * spre_f, axis=-1, keepdims=True) + 1e-6)
+    hn = (spre_f * n).astype(dt)
 
     o = jnp.dot(hn, wout[:, :], preferred_element_type=f32)
     o += bout[0, :].astype(f32)
@@ -215,9 +228,11 @@ def _bwd_kernel(
         do.astype(dt), wout[:, :], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )
-    dspre = n * dhn - (n * n * n) * spre * jnp.mean(dhn * spre, axis=-1, keepdims=True)
-    dv = dspre * sil
-    dg = dspre * v * (sig * (1.0 + g * (1.0 - sig)))
+    dspre = n * dhn - (n * n * n) * spre_f * jnp.mean(
+        dhn * spre_f, axis=-1, keepdims=True
+    )
+    dv = dspre * sil.astype(f32)
+    dg = dspre * v.astype(f32) * (sig * (1.0 + g * (1.0 - sig))).astype(f32)
     dvg = jnp.concatenate([dv, dg], axis=-1).astype(dt)
     dY = jax.lax.dot_general(
         dvg, wvg[:, :], (((1,), (1,)), ((), ())), preferred_element_type=f32,
@@ -302,7 +317,12 @@ def _film_specs(B, C, H, K):
 
 
 def _prep(x, L, tile):
-    tile = max(8, -(-min(tile, L) // 8) * 8)
+    # balanced tiles: with a fixed cap, L=684 would pad to 2x512 (33% of
+    # every kernel program spent on padding rows); instead split L into the
+    # same NUMBER of tiles the cap implies, each just big enough (8-aligned)
+    n = max(1, -(-L // max(8, tile)))
+    per = -(-L // n)
+    tile = max(8, -(-per // 8) * 8)
     Lp = -(-L // tile) * tile
     return tile, Lp
 
@@ -341,6 +361,14 @@ def _fused_film_layer_fwd_impl(
             pltpu.VMEM((tile + 2 * _HALO, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # canonical layer flops (vg + out matmuls + conv taps) so XLA's cost
+        # analysis — the numerator of every MFU figure — counts the work
+        # this kernel absorbs from the graph
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Lp * C * (2 * H + H + K),
+            bytes_accessed=2 * B * Lp * C * 2,
+            transcendentals=B * Lp * H,
+        ),
         interpret=interpret,
     )(xp, *_weights_cast(x.dtype, scale, shift, gate, g1, g2, dww, dwb, wvg, bvg, wout, bout))
     return out[:, :L]
@@ -398,6 +426,13 @@ def _fused_film_layer_bwd_impl(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # recompute-fwd + data grads + weight grads ≈ 3x the forward matmul
+        # flops (see the fwd call's cost_estimate note)
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * Lp * C * (2 * H + H + K),
+            bytes_accessed=4 * B * Lp * C * 2,
+            transcendentals=B * Lp * H,
+        ),
         interpret=interpret,
     )(xp, gop, *_weights_cast(x.dtype, scale, shift, gate, g1, g2, dww, dwb, wvg, bvg, wout, bout))
 

@@ -120,7 +120,8 @@ def _fused_swiglu_fwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel
     from ._tiles import shrink_tile_to_budget
 
     tile = shrink_tile_to_budget(lambda t: _fwd_vmem_bytes(C, H, K, t), tile) or 8
-    tile = max(8, -(-min(tile, L) // 8) * 8)  # sublane-aligned tile
+    n_tiles = max(1, -(-L // max(8, tile)))
+    tile = max(8, -(--(-L // n_tiles) // 8) * 8)  # balanced sublane-aligned tiles
     Lp = -(-L // tile) * tile
     # front pad _HALO, back pad to Lp + _HALO: every DMA window is in-bounds
     xp = jnp.pad(x, ((0, 0), (_HALO, Lp - L + _HALO), (0, 0)))
@@ -143,6 +144,13 @@ def _fused_swiglu_fwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel
             pltpu.VMEM((tile + 2 * _HALO, C), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
+        # canonical block flops (vg + out matmuls + conv taps) so XLA cost
+        # analysis — every MFU numerator — counts the absorbed work
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Lp * C * (3 * H + K),
+            bytes_accessed=2 * B * Lp * C * 2,
+            transcendentals=B * Lp * H,
+        ),
         interpret=interpret,
     )(
         xp,
@@ -288,7 +296,8 @@ def _fused_swiglu_bwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel
     H = out_kernel.shape[0]
 
     assert 2 * radius <= _HALO, f"2*radius {2 * radius} exceeds kernel halo {_HALO}"
-    tile = max(8, -(-min(tile, L) // 8) * 8)
+    n_tiles = max(1, -(-L // max(8, tile)))
+    tile = max(8, -(--(-L // n_tiles) // 8) * 8)
     Lp = -(-L // tile) * tile
     pad = ((0, 0), (_HALO, Lp - L + _HALO), (0, 0))
     xp = jnp.pad(x, pad)
@@ -331,6 +340,12 @@ def _fused_swiglu_bwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # recompute-fwd + data grads + weight grads ≈ 3x the forward flops
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * Lp * C * (3 * H + K),
+            bytes_accessed=4 * B * Lp * C * 2,
+            transcendentals=B * Lp * H,
+        ),
         interpret=interpret,
     )(
         xp,
@@ -458,7 +473,8 @@ def _fused_swiglu_partial_bwd_impl(
     H = out_kernel.shape[0]
 
     assert 2 * radius <= _HALO, f"2*radius {2 * radius} exceeds kernel halo {_HALO}"
-    tile = max(8, -(-min(tile, L) // 8) * 8)
+    n_tiles = max(1, -(-L // max(8, tile)))
+    tile = max(8, -(--(-L // n_tiles) // 8) * 8)
     Lp = -(-L // tile) * tile
     pad = ((0, 0), (_HALO, Lp - L + _HALO), (0, 0))
     xp = jnp.pad(x, pad)
@@ -496,6 +512,12 @@ def _fused_swiglu_partial_bwd_impl(
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
+        # recompute-fwd + data grads (weight matmuls run in XLA afterwards)
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Lp * C * (3 * H + K),
+            bytes_accessed=6 * B * Lp * C * 2,
+            transcendentals=B * Lp * H,
+        ),
         interpret=interpret,
     )(
         xp,

@@ -461,11 +461,13 @@ class TestVariableTempoSynth:
             assert 100.0 <= bpm1 <= 240.0 and 100.0 <= bpm2 <= 240.0
             ratio = bpm2 / bpm1
             assert abs(ratio - 1.0) > 0.1, ratio  # a real change
-            # objects in each section land on that section's grid
+            # objects in each section land on that section's 1/4 grid
+            # (stream measures subdivide to quarters since the round-3
+            # corpus hardening)
             for obj in bm.hit_objects:
                 tp = bm.timing_point_at(obj.t) or tps[0]
-                k = (obj.t - tp.t) / (tp.beat_length / 2.0)
-                assert abs(k - round(k)) < 0.05, (obj.t, tp.t, tp.beat_length)
+                k = (obj.t - tp.t) / (tp.beat_length / 4.0)
+                assert abs(k - round(k)) < 0.1, (obj.t, tp.t, tp.beat_length)
 
     def test_segments_recovered_from_signal(self):
         """synth hit signal -> estimate_tempo_segments finds both sections"""
