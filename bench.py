@@ -108,14 +108,23 @@ def measure_e2e_with_serialize(args, params, wave, log, n_songs=12, batch_songs=
             return dt
 
         run(batch_songs, seed=7)  # warmup: compiles the CLI batch program
+        # each CLI invocation re-traces its jitted programs (XLA compiles are
+        # persistent-cache hits, but trace + cache-load is a fixed multi-second
+        # invocation cost). Sustained throughput is the MARGINAL per-map cost:
+        # time two run sizes and difference-quotient the fixed cost away.
+        dt_small = run(batch_songs, seed=9)
         dt = run(n_songs, seed=8)
-        per_map = dt / n_songs
+        per_map = max(dt - dt_small, 1e-9) / (n_songs - batch_songs)
         # binding side: compare against the device-only batched figure the
         # caller measured; if e2e/map is within 20% of device/map, the chip
         # binds and the host keeps up (the VERDICT r2 item-3 question)
         return {
             "ms_per_map": round(per_map * 1e3, 1),
             "maps_per_min": round(60.0 / per_map, 1),
+            "total_ms_incl_invocation": round(dt * 1e3, 1),
+            "invocation_fixed_ms": round(
+                (dt_small - per_map * batch_songs) * 1e3, 1
+            ),
             "n_maps": n_songs,
             "workers": min(4, os.cpu_count() or 1, n_songs),
             "batch_songs": batch_songs,
@@ -209,6 +218,48 @@ def main() -> None:
     per_map = float(np.median(times))
     maps_per_min = 60.0 / per_map
     log(f"per-map: {times} -> median {per_map:.3f}s = {maps_per_min:.1f} maps/min")
+
+    # --- serial-latency attribution: how much of the serial figure is the
+    # HOST LINK (wave upload + dispatch round trip) vs the chip itself.
+    # Under the tunneled bench backend the link dominates; on a production
+    # host (PCIe/DMA) upload+RTT collapse to ~1 ms and the device-resident
+    # figure below is the real serial latency. All three use already-compiled
+    # programs, so this costs no extra compile time.
+    def _median_ms(f, n=5):
+        ds = []
+        for i in range(n):
+            t0 = time.time()
+            f(i)
+            ds.append((time.time() - t0) * 1e3)
+        return float(np.median(ds))
+
+    import jax as _jax
+
+    upload_ms = _median_ms(
+        lambda i: _jax.block_until_ready(_jax.device_put(buf))
+    )
+    nop = jax.jit(lambda x: x + 1.0)
+    _z = jnp.zeros(())
+    float(nop(_z))
+    rtt_ms = _median_ms(lambda i: float(nop(_z)))
+    dbuf = _jax.device_put(jnp.asarray(buf))
+    _jax.block_until_ready(dbuf)
+
+    def _resident_run(i):
+        c, _ = sample_wave(
+            params, dbuf, real_frames, n_frames, out_frames, labels,
+            jax.random.PRNGKey(700 + i),
+        )
+        float(c[0, 0, 0])
+
+    _resident_run(0)  # same program (wave arg already device-resident)
+    resident_ms = _median_ms(_resident_run)
+    log(
+        f"serial attribution: wave upload {upload_ms:.1f} ms + dispatch RTT "
+        f"{rtt_ms:.1f} ms (host link) | device-resident serial "
+        f"{resident_ms:.1f} ms = {60000 / resident_ms:.0f} maps/min "
+        f"(~{max(resident_ms - rtt_ms, 0.0):.0f} ms chip compute)"
+    )
 
     # secondary metrics (stderr only; the driver consumes the single JSON line)
     h_shape = (1, spec.shape[1] // args.latent.chunk_size, args.diffusion.a_dim)
@@ -368,6 +419,16 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "bulk_ms_per_map": round(bulk_dt * 1000, 1),
         "batched_bulk_ms_per_map": bulk_curve,
+        "serial_attribution": {
+            "wave_upload_ms": round(upload_ms, 1),
+            "dispatch_rtt_ms": round(rtt_ms, 1),
+            "device_resident_serial_ms": round(resident_ms, 1),
+            "device_resident_maps_per_min": round(60000 / resident_ms, 1),
+            "note": "serial headline = upload + RTT + compute through the "
+                    "tunneled host link; device_resident excludes the wave "
+                    "upload (the exact analog of the reference-CPU "
+                    "methodology, which starts from an in-memory spec)",
+        },
     }
     if e2e is not None:
         result["e2e_with_serialize"] = e2e
