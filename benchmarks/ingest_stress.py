@@ -49,6 +49,19 @@ def build_osz_library(songs_dir: Path, n: int, seconds: float, seed: int) -> dic
     songs_dir.mkdir(parents=True, exist_ok=True)
     corrupt: dict[str, int] = {}
     healthy = 0
+    # exact expectations so the isolation check has no slack: an
+    # unparseable_osu mapset corrupts ONE diff — its audio and remaining
+    # diffs must still build (that IS per-sample isolation), so it
+    # contributes a spec dir and its remaining ENCODABLE diffs. At very
+    # short --seconds the generator can legitimately emit a diff with zero
+    # hit objects (the codec rejects it, isolation skips it) — only diffs
+    # with objects count toward the expectation
+    def encodable(text: str) -> bool:
+        _, _, tail = text.partition("[HitObjects]")
+        return any(line.strip() for line in tail.splitlines())
+
+    expected_spec_dirs = 0
+    expected_maps = 0
     kinds = ("truncated_zip", "bad_audio_bytes", "unparseable_osu", "missing_audio")
     for i in range(n):
         texts, wave, _ = make_mapset(rng, seconds=seconds)
@@ -71,10 +84,20 @@ def build_osz_library(songs_dir: Path, n: int, seconds: float, seed: int) -> dic
             osz.write_bytes(data[: len(data) // 3])
         if kind is None:
             healthy += 1
+            expected_spec_dirs += 1
+            expected_maps += sum(encodable(t) for t in texts)
         else:
             corrupt[kind] = corrupt.get(kind, 0) + 1
+            if kind == "unparseable_osu":
+                expected_spec_dirs += 1
+                expected_maps += sum(encodable(t) for t in texts[1:])
         wav.unlink(missing_ok=True)
-    return {"healthy": healthy, "corrupt": corrupt}
+    return {
+        "healthy": healthy,
+        "corrupt": corrupt,
+        "expected_spec_dirs": expected_spec_dirs,
+        "expected_maps": expected_maps,
+    }
 
 
 def main() -> None:
@@ -133,13 +156,22 @@ def main() -> None:
         "wall_s": round(dt, 1),
         "maps_per_min": round(n_maps / dt * 60.0, 1),
         "incremental_rerun_s": round(rerun_s, 1),
-        "error_isolation_ok": len(spec_dirs) >= pop["healthy"],
+        "expected_spec_dirs": pop["expected_spec_dirs"],
+        "expected_maps": pop["expected_maps"],
+        # exact: every buildable mapset built a spec dir and every
+        # buildable diff built a map — no slack for silently-lost healthy
+        # mapsets hiding behind partially-built corrupt ones
+        "error_isolation_ok": (
+            len(spec_dirs) == pop["expected_spec_dirs"]
+            and n_maps == pop["expected_maps"]
+        ),
     }
     print(json.dumps(result))
     if not args.keep:
         shutil.rmtree(out, ignore_errors=True)
-    if len(spec_dirs) < pop["healthy"]:
-        log(f"FAIL: only {len(spec_dirs)} of {pop['healthy']} healthy mapsets built")
+    if not result["error_isolation_ok"]:
+        log(f"FAIL: built {len(spec_dirs)}/{pop['expected_spec_dirs']} spec "
+            f"dirs, {n_maps}/{pop['expected_maps']} maps")
         sys.exit(1)
 
 

@@ -164,15 +164,15 @@ def measure_style_step(
     }
 
 
-def write_all_stages(path: str, steps: int = 10) -> dict:
+def write_all_stages(path: str, steps: int = 10, peak: float = 197e12) -> dict:
     """measure all three stage train steps at their reference configs and
     write benchmarks/trainstep_result.json (consumed by bench.py)"""
     out = {}
-    d = measure_train_step(steps=steps)
+    d = measure_train_step(steps=steps, peak=peak)
     out.update({"ms_per_step": d["ms_per_step"], "mfu": d["mfu"],
                 "xla_flops_tf": d["xla_flops_tf"]})
-    lt = measure_latent_step(steps=steps)
-    st = measure_style_step(steps=max(steps, 20))
+    lt = measure_latent_step(steps=steps, peak=peak)
+    st = measure_style_step(steps=max(steps, 20), peak=peak)
     out["latent"] = lt
     out["style"] = st
     out["source"] = (
@@ -203,8 +203,15 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.write:
+        # --write pins the three REFERENCE configs (that is what the
+        # committed artifact means); a per-run batch/seq override would
+        # silently write a different configuration under the same label
+        if args.batch != 128 or args.seq != 152:
+            ap.error("--write measures the fixed reference configs; "
+                     "--batch/--seq only apply to the single-stage mode")
         out = write_all_stages(
-            str(Path(__file__).parent / "trainstep_result.json"), steps=args.steps
+            str(Path(__file__).parent / "trainstep_result.json"),
+            steps=args.steps, peak=args.peak,
         )
         print(json.dumps(out))
         return

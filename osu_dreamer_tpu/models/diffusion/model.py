@@ -162,7 +162,11 @@ class DiffusionModel(nn.Module):
         # lightweight distance head reading the raw noised input
         U = a.u_head_dim
         # tap-sum depthwise convs (nn.DepthwiseConv): XLA grouped convs over
-        # 6/64 channels run at <5% lane utilization on TPU
+        # 6/64 channels run at <5% lane utilization on TPU. NOTE: the swap
+        # renamed these params (Conv_i -> DepthwiseConv_i under flax
+        # auto-naming) — value-compatible shapes, but checkpoints written
+        # before the swap need a path rename to restore; accepted pre-release
+        # (no published artifacts)
         self.u_convs = nn.Sequential(
             [
                 DepthwiseConv(a.emb_dim, 3, dtype=self.dtype),

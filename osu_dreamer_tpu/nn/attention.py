@@ -74,11 +74,14 @@ def rope(x: jnp.ndarray, offset: jnp.ndarray | int = 0) -> jnp.ndarray:
 
 def _attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """scaled dot-product attention over (B, L, H, D) as explicit einsums —
-    numerically identical to ``jax.nn.dot_product_attention`` (f32 logits,
-    softmax, probability matmul); faster under XLA:CPU's codegen"""
+    numerically identical to ``jax.nn.dot_product_attention`` (f32 logits +
+    softmax regardless of input dtype, probability matmul in input dtype);
+    faster under XLA:CPU's codegen"""
     D = q.shape[-1]
-    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(jnp.asarray(D, q.dtype))
-    p = jax.nn.softmax(s, axis=-1)
+    s = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(D, jnp.float32))
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
 

@@ -239,13 +239,16 @@ class FilmStack(nn.Module):
             return False
         if not _pallas_swiglu_default():
             return False
-        from osu_dreamer_tpu.ops.film_layer import feasible_tile
+        from osu_dreamer_tpu.ops.film_layer import feasible_fwd_tile, feasible_tile
 
         B, L, C = x.shape
         if C % 128 != 0 or B * -(-L // 512) < 8:
             return False
         h_dim = int(self.dim * self.expand * 2 / 3)
-        return feasible_tile(C, h_dim, 1 + 2 * self.radius) is not None
+        return (
+            feasible_tile(C, h_dim, 1 + 2 * self.radius) is not None
+            and feasible_fwd_tile(C, h_dim, 1 + 2 * self.radius) is not None
+        )
 
     @nn.compact
     def __call__(

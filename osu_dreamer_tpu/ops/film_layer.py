@@ -43,7 +43,8 @@ from .swiglu import _HALO, swiglu_reference
 # starting tile for the VMEM-budget shrink search (ops/_tiles.py): narrow
 # stacks (the latent U-Net's C=128/H=341) fit 1024-row tiles, which doubles
 # the matmul M-dimension and halves grid-step overhead; wider dims shrink
-# automatically (C=384/H=1024 lands at 128 as before)
+# automatically in BOTH directions (backward via feasible_tile, forward via
+# feasible_fwd_tile; e.g. C=384/H=1024 lands at 128/256 respectively)
 DEFAULT_TILE = 1024
 
 
@@ -348,6 +349,14 @@ def _fused_film_layer_fwd_impl(
     H = wout.shape[0]
     assert 2 * radius <= _HALO
 
+    tile = feasible_fwd_tile(C, H, K, tile)
+    if tile is None:
+        # even the minimum tile exceeds VMEM (very wide stacks): the
+        # reference path is correct at any width
+        return film_layer_reference(
+            x, scale, shift, gate, g1, g2,
+            dww, dwb, wvg, bvg, wout, bout,
+        )
     tile, Lp = _prep(x, L, tile)
     xp = jnp.pad(x, ((0, 0), (_HALO, Lp - L + _HALO), (0, 0)))
 
@@ -469,6 +478,27 @@ def feasible_tile(C: int, H: int, K: int, tile: int = DEFAULT_TILE) -> int | Non
     from ._tiles import shrink_tile_to_budget
 
     return shrink_tile_to_budget(lambda t: _bwd_vmem_bytes(C, H, K, t), tile)
+
+
+def _fwd_vmem_bytes(C: int, H: int, K: int, tile: int) -> int:
+    """rough VMEM bound for the forward kernel: bf16 weights (cast before
+    the call) + the live bf16/fp32 intermediates of one extended tile
+    (xs/h1/y/out + fp32 vg/o + the gated-FFN chain)"""
+    E = tile + 2 * _HALO
+    weights = 2 * (K * C + 7 * C + C * 2 * H + 2 * H + H * C)
+    work = E * (12 * C + 26 * H)
+    return weights + work
+
+
+def feasible_fwd_tile(C: int, H: int, K: int, tile: int = DEFAULT_TILE) -> int | None:
+    """largest forward tile that fits the shared VMEM budget, else None.
+    The narrow production stacks (C=128/H=341) keep the full DEFAULT_TILE;
+    wide stacks shrink instead of failing Mosaic allocation (the backward
+    always had this via feasible_tile; the forward ran at DEFAULT_TILE
+    unconditionally before)"""
+    from ._tiles import shrink_tile_to_budget
+
+    return shrink_tile_to_budget(lambda t: _fwd_vmem_bytes(C, H, K, t), tile)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(12, 13))

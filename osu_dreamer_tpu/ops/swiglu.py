@@ -119,7 +119,13 @@ def _fused_swiglu_fwd_impl(x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel
     assert radius <= _HALO, f"radius {radius} exceeds kernel halo {_HALO}"
     from ._tiles import shrink_tile_to_budget
 
-    tile = shrink_tile_to_budget(lambda t: _fwd_vmem_bytes(C, H, K, t), tile) or 8
+    tile = shrink_tile_to_budget(lambda t: _fwd_vmem_bytes(C, H, K, t), tile)
+    if tile is None:
+        # no tile fits (resident weights alone can exceed the budget at
+        # very wide dims): the unfused path is correct at any width
+        return swiglu_reference(
+            x, dw_kernel, dw_bias, vg_kernel, vg_bias, out_kernel, out_bias
+        )
     n_tiles = max(1, -(-L // max(8, tile)))
     tile = max(8, -(--(-L // n_tiles) // 8) * 8)  # balanced sublane-aligned tiles
     Lp = -(-L // tile) * tile

@@ -124,11 +124,18 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
 
                     stream = itertools.islice(stream, skip_batches, None)
                     skip_batches = 0
+                epoch_complete = True
                 for batch in stream:
+                    # progress must advance in lockstep with `state`: the
+                    # step donates the old state's buffers, so an interrupt
+                    # can only ever checkpoint the NEW state — pair it with
+                    # the new batch count immediately (anything between the
+                    # two would widen the window where a mid-epoch interrupt
+                    # saves new-state/old-count and re-trains one batch)
                     state, metrics = stage.train_step(state, batch)
-                    timer.tick()
                     n_batches += 1
                     progress["batch_in_epoch"] = n_batches
+                    timer.tick()
                     step = int(state.step)
                     if step % args.log_every == 0:
                         scalars = {k: v for k, v in metrics.items()}
@@ -141,6 +148,7 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
                             logger.scalars({"steps_per_sec": timer.steps_per_sec}, step, prefix="perf/")
                     if args.max_steps > 0 and step >= args.max_steps:
                         stop = True
+                        epoch_complete = False  # stream not exhausted
                         break
                 if epoch == args.trace_epoch:
                     # the trace must cover real device work: block before exit
@@ -167,9 +175,13 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
             if run_val and stage.on_validation is not None:
                 stage.on_validation(state, int(state.step), logger)
 
-            # state after epoch e == state before epoch e+1: a restart from
-            # this checkpoint begins cleanly at the next epoch
-            progress = {"epoch": epoch + 1, "batch_in_epoch": 0}
+            # state after a COMPLETED epoch e == state before epoch e+1: a
+            # restart from this checkpoint begins cleanly at the next epoch.
+            # A max_steps stop mid-epoch keeps the accurate mid-epoch
+            # position instead — resuming with a higher max_steps must
+            # continue with this epoch's remaining batches, not skip them
+            if epoch_complete:
+                progress = {"epoch": epoch + 1, "batch_in_epoch": 0}
             improved = keeper.update(state, stage.hparams, val_metrics, progress)
             logger.flush()
             dt = time.time() - epoch_t0

@@ -422,6 +422,83 @@ class TestFitLoop:
         for (sa, la), (sb, lb) in zip(trace_a, trace_b):
             assert la == lb, f"loss diverged at step {sa}: {la} != {lb}"
 
+    def test_max_steps_stop_keeps_mid_epoch_progress(self, tmp_path):
+        """a max_steps stop mid-epoch must checkpoint the ACCURATE stream
+        position — resuming with a higher budget continues with the
+        interrupted epoch's remaining batches instead of silently skipping
+        them (progress used to be overwritten with {epoch+1, 0})"""
+        import numpy as np
+        import optax
+
+        from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
+        from osu_dreamer_tpu.train.state import create_train_state
+
+        tx = optax.adam(0.1)
+        STEPS_PER_EPOCH, EPOCHS = 5, 3
+
+        def make_state():
+            return create_train_state(
+                {"w": jnp.zeros(4)}, tx, jax.random.PRNGKey(0)
+            )
+
+        def stream(epoch):
+            rng = np.random.default_rng(1000 + epoch)
+            return [
+                jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+                for _ in range(STEPS_PER_EPOCH)
+            ]
+
+        @jax.jit
+        def train_step(st, batch):
+            rng, k = jax.random.split(st.rng)
+
+            def loss_fn(p):
+                noise = 0.1 * jax.random.normal(k, (4,))
+                return jnp.sum((p["w"] - batch - noise) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            updates, opt_state = tx.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, updates)
+            return st.replace(
+                step=st.step + 1, params=params, opt_state=opt_state, rng=rng
+            ), {"loss": loss}
+
+        def run(run_dir, max_steps=-1, resume=False):
+            trace = []
+
+            def recording_step(st, batch):
+                st, m = train_step(st, batch)
+                trace.append((int(st.step), float(m["loss"])))
+                return st, m
+
+            stage = Stage(
+                name="t", hparams={}, state=make_state(),
+                train_step=recording_step, train_stream=stream,
+            )
+            last = str(tmp_path / run_dir / "last")
+            fit(
+                stage,
+                FitArgs(run_dir=str(tmp_path / run_dir), max_epochs=EPOCHS,
+                        max_steps=max_steps, save_last_every_s=0.0),
+                resume_from=last if resume else None,
+            )
+            return trace
+
+        trace_a = run("a")
+
+        STOP_AT = 7  # mid-epoch 1
+        trace_b1 = run("b", max_steps=STOP_AT)
+        assert len(trace_b1) == STOP_AT
+        meta = json.loads((tmp_path / "b" / "last" / "meta.json").read_text())
+        assert meta["progress"] == {
+            "epoch": 1, "batch_in_epoch": STOP_AT - STEPS_PER_EPOCH
+        }
+        trace_b2 = run("b", resume=True)
+        trace_b = trace_b1 + trace_b2
+        assert [s for s, _ in trace_b] == [s for s, _ in trace_a]
+        for (sa, la), (sb, lb) in zip(trace_a, trace_b):
+            assert la == lb, f"loss diverged at step {sa}: {la} != {lb}"
+
     def test_prefetch_abandonment_releases_worker(self):
         """a consumer that stops early (lockstep truncation islices every
         epoch) must not leave the worker blocked on a full queue forever"""
