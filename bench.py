@@ -27,8 +27,14 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# enable the persistent compile cache even when a sitecustomize already
+# imported jax (env vars alone are snapshotted too early there)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) 
+                if "benchmarks" in os.path.dirname(os.path.abspath(__file__))
+                else os.path.dirname(os.path.abspath(__file__)))
+from osu_dreamer_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/tmp/jax_cache_bench")
 
 import numpy as np
 
@@ -114,7 +120,25 @@ def measure_e2e_with_serialize(args, params, wave, log, n_songs=12, batch_songs=
         # time two run sizes and difference-quotient the fixed cost away.
         dt_small = run(batch_songs, seed=9)
         dt = run(n_songs, seed=8)
-        per_map = max(dt - dt_small, 1e-9) / (n_songs - batch_songs)
+        if dt <= dt_small:
+            # timing noise made the large run no slower than the small one:
+            # the marginal quotient is meaningless — retry the pair once,
+            # then report the sample invalid rather than a ~6e10 maps/min lie
+            dt_small = run(batch_songs, seed=19)
+            dt = run(n_songs, seed=18)
+        if dt <= dt_small:
+            return {
+                "ms_per_map": None,
+                "maps_per_min": None,
+                "note": "invalid measurement: n_songs run was no slower "
+                        "than the batch_songs run (twice); host timing noise "
+                        "exceeds the marginal cost",
+                "n_maps": n_songs,
+                "batch_songs": batch_songs,
+                "sample_steps": NUM_STEPS,
+                "bound_by": None,
+            }
+        per_map = (dt - dt_small) / (n_songs - batch_songs)
         # binding side: compare against the device-only batched figure the
         # caller measured; if e2e/map is within 20% of device/map, the chip
         # binds and the host keeps up (the VERDICT r2 item-3 question)
@@ -391,15 +415,18 @@ def main() -> None:
     try:
         e2e = measure_e2e_with_serialize(args, params, wave, log)
         device_ms = bdt * 1000
-        e2e["bound_by"] = (
-            "device (host keeps up)" if e2e["ms_per_map"] <= device_ms * 1.2
-            else "host serialize/dispatch tail"
-        )
         e2e["device_only_ms_per_map"] = round(device_ms, 1)
-        log(f"e2e with serialize: {e2e['ms_per_map']} ms/map = "
-            f"{e2e['maps_per_min']} maps/min sustained through .osz on disk "
-            f"({e2e['n_maps']} maps, serialize-workers {e2e['workers']}, "
-            f"binding side: {e2e['bound_by']})")
+        if e2e["ms_per_map"] is None:
+            log(f"e2e with serialize: INVALID sample ({e2e['note']})")
+        else:
+            e2e["bound_by"] = (
+                "device (host keeps up)" if e2e["ms_per_map"] <= device_ms * 1.2
+                else "host serialize/dispatch tail"
+            )
+            log(f"e2e with serialize: {e2e['ms_per_map']} ms/map = "
+                f"{e2e['maps_per_min']} maps/min sustained through .osz on disk "
+                f"({e2e['n_maps']} maps, serialize-workers {e2e['workers']}, "
+                f"binding side: {e2e['bound_by']})")
     except Exception as exc:  # the headline must survive an e2e failure
         log(f"e2e-with-serialize skipped: {exc!r}")
 

@@ -16,9 +16,18 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# benchmarks dir itself, so `import profile_summary` resolves no matter who
+# imports this module (not just `python benchmarks/predict_profile.py`)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# enable the persistent compile cache even when a sitecustomize already
+# imported jax (env vars alone are snapshotted too early there)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) 
+                if "benchmarks" in os.path.dirname(os.path.abspath(__file__))
+                else os.path.dirname(os.path.abspath(__file__)))
+from osu_dreamer_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/tmp/jax_cache_bench")
 
 import numpy as np
 
@@ -82,12 +91,10 @@ def main() -> None:
           f"-> median {wall*1e3:.1f} ms", file=sys.stderr)
 
     # summarize the trace with the existing helper
-    sys.argv = ["profile_summary", args_cli.trace_dir,
-                "--steps", str(args_cli.runs), "--top", "45"]
     import profile_summary
-    profile_summary.main()
+    profile_summary.main([args_cli.trace_dir,
+                          "--steps", str(args_cli.runs), "--top", "45"])
 
 
 if __name__ == "__main__":
-    sys.path.insert(0, os.path.dirname(__file__))
     main()

@@ -18,7 +18,7 @@ from collections import defaultdict
 from pathlib import Path
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--top", type=int, default=40)
@@ -28,7 +28,7 @@ def main() -> None:
     ap.add_argument("--exact", action="store_true",
                     help="keep per-instance op names (fusion.123) instead of "
                          "grouping by family — match them in an HLO dump")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     gzs = sorted(Path(args.trace_dir).rglob("*.trace.json.gz"))
     assert gzs, f"no .trace.json.gz under {args.trace_dir}"

@@ -34,8 +34,14 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_bench")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# enable the persistent compile cache even when a sitecustomize already
+# imported jax (env vars alone are snapshotted too early there)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) 
+                if "benchmarks" in os.path.dirname(os.path.abspath(__file__))
+                else os.path.dirname(os.path.abspath(__file__)))
+from osu_dreamer_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/tmp/jax_cache_bench")
 
 import numpy as np
 

@@ -318,3 +318,535 @@ double odn_star_rating(const double* times, const double* xs, const double* ys,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------- slider fit
+//
+// Full MAP slider-curve selection (mirrors osu_dreamer_tpu/signal/fit/:
+// select.py branch-and-bound over arc / single-bezier / greedy poly
+// families, bezier_fit.py constrained Bernstein LSQ, arc_fit.py Kasa fit
+// with renderability gates). The numpy path is the semantics oracle; this
+// is the production path — the per-candidate LSQ solves are tiny (degree
+// <= 7) so Python/numpy call overhead dominates there, ~50x this.
+//
+// Priors are NOT duplicated here: the caller passes the log-prior tables
+// (signal/fit/prior.py) so both paths share exact constants.
+
+namespace odnfit {
+
+constexpr int MAX_CTRL = 8;    // max single-bezier control points
+constexpr int MAX_SEG = 16;    // max poly segments
+constexpr int POLY_CTRL = 4;   // poly-bezier per-segment control points
+
+// arc gates — keep in sync with signal/fit/arc_fit.py
+constexpr double MIN_ENDPOINT_DIST = 15.0;
+constexpr double MAX_RADIUS = 320.0;
+constexpr double MIN_SWEEP_RAD = 0.05;
+constexpr double MAX_REVERSAL_FRAC = 0.25;
+
+// ---- Gauss-Legendre nodes on [0,1] (orders 8 and 12 cover degrees <= 8:
+// order = max(8, 4*ceil(sqrt(n_ctrl))) as in osu/paths.py)
+struct GLTable {
+  int order = 0;
+  double t[16], w[16];
+};
+
+static void gl_compute(int order, GLTable& g) {
+  g.order = order;
+  for (int i = 0; i < order; i++) {
+    double x = std::cos(M_PI * (i + 0.75) / (order + 0.5));
+    double p1 = 0.0, p0 = 0.0, dp = 0.0;
+    for (int it = 0; it < 100; it++) {
+      p0 = 1.0;
+      p1 = x;
+      for (int k = 2; k <= order; k++) {
+        const double p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k;
+        p0 = p1;
+        p1 = p2;
+      }
+      dp = order * (x * p1 - p0) / (x * x - 1.0);
+      const double dx = p1 / dp;
+      x -= dx;
+      if (std::abs(dx) < 1e-15) break;
+    }
+    // refresh dp at the converged node for the weight
+    p0 = 1.0;
+    p1 = x;
+    for (int k = 2; k <= order; k++) {
+      const double p2 = ((2 * k - 1) * x * p1 - (k - 1) * p0) / k;
+      p0 = p1;
+      p1 = p2;
+    }
+    dp = order * (x * p1 - p0) / (x * x - 1.0);
+    g.t[i] = 0.5 * (x + 1.0);
+    g.w[i] = 2.0 / ((1.0 - x * x) * dp * dp);
+  }
+}
+
+static const GLTable& gl_nodes(int order) {
+  static GLTable g8, g12;
+  if (order <= 8) {
+    if (g8.order == 0) gl_compute(8, g8);
+    return g8;
+  }
+  if (g12.order == 0) gl_compute(12, g12);
+  return g12;
+}
+
+struct Curve {
+  int n = 0;                  // control point count
+  double pts[MAX_CTRL][2];    // control points
+};
+
+// arc length by GL quadrature of the hodograph (osu/paths.py:68-78)
+static double curve_length(const Curve& c) {
+  if (c.n < 2) return 0.0;
+  const int order = std::max(8, (int)(4 * std::ceil(std::sqrt((double)c.n))));
+  const GLTable& g = gl_nodes(order);
+  // hodograph ctrl pts
+  double h[MAX_CTRL][2];
+  const int hn = c.n - 1;
+  for (int i = 0; i < hn; i++) {
+    h[i][0] = hn * (c.pts[i + 1][0] - c.pts[i][0]);
+    h[i][1] = hn * (c.pts[i + 1][1] - c.pts[i][1]);
+  }
+  double acc = 0.0;
+  for (int q = 0; q < g.order; q++) {
+    const double t = g.t[q];
+    double lv[MAX_CTRL][2];
+    memcpy(lv, h, sizeof(double) * hn * 2);
+    for (int lvl = hn; lvl > 1; lvl--) {
+      for (int i = 0; i + 1 < lvl; i++) {
+        lv[i][0] = (1.0 - t) * lv[i][0] + t * lv[i + 1][0];
+        lv[i][1] = (1.0 - t) * lv[i][1] + t * lv[i + 1][1];
+      }
+    }
+    acc += g.w[q] * std::sqrt(lv[0][0] * lv[0][0] + lv[0][1] * lv[0][1]);
+  }
+  return 0.5 * acc;
+}
+
+static double binom(int n, int k) {
+  double r = 1.0;
+  for (int i = 0; i < k; i++) r = r * (n - i) / (i + 1);
+  return r;
+}
+
+// solve SPD system A (n x n) for m right-hand sides B (n x m), in place via
+// Cholesky; singular pivots get a ridge retry (the numpy path's pinv
+// fallback territory — degenerate spans outside the MAP search envelope)
+static bool solve_spd(int n, double* A, double* B, int m) {
+  for (int attempt = 0; attempt < 2; attempt++) {
+    double L[MAX_CTRL * MAX_CTRL];
+    memcpy(L, A, sizeof(double) * n * n);
+    bool ok = true;
+    for (int j = 0; j < n && ok; j++) {
+      double d = L[j * n + j];
+      for (int k = 0; k < j; k++) d -= L[j * n + k] * L[j * n + k];
+      if (d <= 1e-300) {
+        ok = false;
+        break;
+      }
+      const double s = std::sqrt(d);
+      L[j * n + j] = s;
+      for (int i = j + 1; i < n; i++) {
+        double v = L[i * n + j];
+        for (int k = 0; k < j; k++) v -= L[i * n + k] * L[j * n + k];
+        L[i * n + j] = v / s;
+      }
+    }
+    if (!ok) {
+      double tr = 0.0;
+      for (int j = 0; j < n; j++) tr += A[j * n + j];
+      const double ridge = std::max(tr, 1.0) * 1e-10;
+      for (int j = 0; j < n; j++) A[j * n + j] += ridge;
+      continue;
+    }
+    // forward/back substitution per RHS column
+    for (int c = 0; c < m; c++) {
+      double y[MAX_CTRL];
+      for (int i = 0; i < n; i++) {
+        double v = B[i * m + c];
+        for (int k = 0; k < i; k++) v -= L[i * n + k] * y[k];
+        y[i] = v / L[i * n + i];
+      }
+      for (int i = n - 1; i >= 0; i--) {
+        double v = y[i];
+        for (int k = i + 1; k < n; k++) v -= L[k * n + i] * B[k * m + c];
+        B[i * m + c] = v / L[i * n + i];
+      }
+    }
+    return true;
+  }
+  return false;
+}
+
+// constrained Bernstein LSQ over a span (bezier_fit.py:67-98). pts is the
+// full (L,2) row-major array; the span is [lo, hi] inclusive. Returns the
+// fitted curve, SSE, and the span-global index of the worst residual.
+static void fit_span(const double* pts, int lo, int hi, int n_ctrl_req,
+                     bool pin_start, bool pin_end, Curve& out, double* sse,
+                     int* argmax_idx) {
+  const int L = hi - lo + 1;
+  const int n = std::min(n_ctrl_req, L);
+  out.n = n;
+  const int d = n - 1;
+
+  // Bernstein basis on the uniform grid. Reused thread-local buffers (one
+  // fit per call, spans re-fit thousands of times per map) and incremental
+  // power chains — std::pow per entry was the hot spot
+  static thread_local std::vector<double> T;
+  T.resize((size_t)L * n);
+  double cb[MAX_CTRL];
+  for (int j = 0; j < n; j++) cb[j] = binom(d, j);
+  for (int i = 0; i < L; i++) {
+    const double t = L == 1 ? 0.0 : (double)i / (L - 1);
+    const double v = 1.0 - t;
+    double tp[MAX_CTRL], vp[MAX_CTRL];
+    tp[0] = vp[0] = 1.0;
+    for (int j = 1; j < n; j++) {
+      tp[j] = tp[j - 1] * t;
+      vp[j] = vp[j - 1] * v;
+    }
+    for (int j = 0; j < n; j++)
+      T[(size_t)i * n + j] = cb[j] * tp[j] * vp[d - j];
+  }
+
+  bool pinned[MAX_CTRL] = {false};
+  if (pin_start) pinned[0] = true;
+  if (pin_end) pinned[n - 1] = true;
+  int freeidx[MAX_CTRL], nf = 0;
+  for (int j = 0; j < n; j++)
+    if (!pinned[j]) freeidx[nf++] = j;
+
+  double ctrl[MAX_CTRL][2];
+  if (pin_start) {
+    ctrl[0][0] = pts[2 * lo];
+    ctrl[0][1] = pts[2 * lo + 1];
+  }
+  if (pin_end) {
+    ctrl[n - 1][0] = pts[2 * hi];
+    ctrl[n - 1][1] = pts[2 * hi + 1];
+  }
+
+  if (nf > 0) {
+    // rhs = points - T_pinned @ ctrl_pinned
+    static thread_local std::vector<double> rhs;
+    rhs.resize((size_t)L * 2);
+    for (int i = 0; i < L; i++) {
+      double rx = pts[2 * (lo + i)], ry = pts[2 * (lo + i) + 1];
+      for (int j = 0; j < n; j++)
+        if (pinned[j]) {
+          rx -= T[(size_t)i * n + j] * ctrl[j][0];
+          ry -= T[(size_t)i * n + j] * ctrl[j][1];
+        }
+      rhs[2 * i] = rx;
+      rhs[2 * i + 1] = ry;
+    }
+    // gram = Tf' Tf (nf x nf), B = Tf' rhs (nf x 2)
+    double gram[MAX_CTRL * MAX_CTRL] = {0}, B[MAX_CTRL * 2] = {0};
+    for (int i = 0; i < L; i++) {
+      for (int a = 0; a < nf; a++) {
+        const double ta = T[(size_t)i * n + freeidx[a]];
+        for (int b = a; b < nf; b++)
+          gram[a * nf + b] += ta * T[(size_t)i * n + freeidx[b]];
+        B[a * 2] += ta * rhs[2 * i];
+        B[a * 2 + 1] += ta * rhs[2 * i + 1];
+      }
+    }
+    for (int a = 0; a < nf; a++)
+      for (int b = 0; b < a; b++) gram[a * nf + b] = gram[b * nf + a];
+    if (!solve_spd(nf, gram, B, 2)) {
+      // fully degenerate: fall back to the data endpoints (a "fit" the MAP
+      // cost will reject against any real candidate)
+      for (int a = 0; a < nf; a++) {
+        B[a * 2] = pts[2 * lo];
+        B[a * 2 + 1] = pts[2 * lo + 1];
+      }
+    }
+    for (int a = 0; a < nf; a++) {
+      ctrl[freeidx[a]][0] = B[a * 2];
+      ctrl[freeidx[a]][1] = B[a * 2 + 1];
+    }
+  }
+
+  memcpy(out.pts, ctrl, sizeof(double) * n * 2);
+
+  double s = 0.0, worst = -1.0;
+  int wi = 0;
+  for (int i = 0; i < L; i++) {
+    double ex = -pts[2 * (lo + i)], ey = -pts[2 * (lo + i) + 1];
+    for (int j = 0; j < n; j++) {
+      ex += T[(size_t)i * n + j] * ctrl[j][0];
+      ey += T[(size_t)i * n + j] * ctrl[j][1];
+    }
+    const double e = ex * ex + ey * ey;
+    s += e;
+    if (e > worst) {
+      worst = e;
+      wi = i;
+    }
+  }
+  *sse = s;
+  *argmax_idx = lo + wi;
+}
+
+// Kasa arc fit + gates (arc_fit.py). Returns true and fills sse/length/3
+// control points when the span forms a renderable arc.
+static bool fit_arc(const double* pts, int L, double* sse, double* length,
+                    double ctrl[3][2]) {
+  if (L < 3) return false;
+  const double dx0 = pts[2 * (L - 1)] - pts[0],
+               dy0 = pts[2 * (L - 1) + 1] - pts[1];
+  if (std::sqrt(dx0 * dx0 + dy0 * dy0) < MIN_ENDPOINT_DIST) return false;
+
+  // normal equations for design [2x, 2y, 1] target x^2+y^2 (3x3, symmetric)
+  double A[9] = {0}, b[3] = {0};
+  for (int i = 0; i < L; i++) {
+    const double x = pts[2 * i], y = pts[2 * i + 1];
+    const double row[3] = {2 * x, 2 * y, 1.0};
+    const double t = x * x + y * y;
+    for (int a = 0; a < 3; a++) {
+      for (int c = a; c < 3; c++) A[a * 3 + c] += row[a] * row[c];
+      b[a] += row[a] * t;
+    }
+  }
+  for (int a = 0; a < 3; a++)
+    for (int c = 0; c < a; c++) A[a * 3 + c] = A[c * 3 + a];
+  // gaussian elimination w/ partial pivoting
+  double M[12];
+  for (int r = 0; r < 3; r++) {
+    for (int c = 0; c < 3; c++) M[r * 4 + c] = A[r * 3 + c];
+    M[r * 4 + 3] = b[r];
+  }
+  for (int col = 0; col < 3; col++) {
+    int piv = col;
+    for (int r = col + 1; r < 3; r++)
+      if (std::abs(M[r * 4 + col]) > std::abs(M[piv * 4 + col])) piv = r;
+    if (std::abs(M[piv * 4 + col]) < 1e-12) return false;  // collinear
+    if (piv != col)
+      for (int c = 0; c < 4; c++) std::swap(M[piv * 4 + c], M[col * 4 + c]);
+    for (int r = 0; r < 3; r++) {
+      if (r == col) continue;
+      const double f = M[r * 4 + col] / M[col * 4 + col];
+      for (int c = col; c < 4; c++) M[r * 4 + c] -= f * M[col * 4 + c];
+    }
+  }
+  const double cx = M[3] / M[0], cy = M[7] / M[5], cc = M[11] / M[10];
+
+  const double r_sq = cx * cx + cy * cy + cc;
+  if (r_sq <= 0) return false;
+  const double radius = std::sqrt(r_sq);
+  if (radius > MAX_RADIUS) return false;
+
+  // unwrapped angles
+  std::vector<double> ang(L);
+  double prev = std::atan2(pts[1] - cy, pts[0] - cx), offset = 0.0;
+  ang[0] = prev;
+  for (int i = 1; i < L; i++) {
+    double a = std::atan2(pts[2 * i + 1] - cy, pts[2 * i] - cx);
+    double d = a - prev;
+    while (d > M_PI) d -= 2 * M_PI;
+    while (d < -M_PI) d += 2 * M_PI;
+    offset += d;
+    ang[i] = ang[0] + offset;
+    prev = a;
+  }
+  const double sweep = ang[L - 1] - ang[0];
+  if (std::abs(sweep) < MIN_SWEEP_RAD) return false;
+  if (std::abs(sweep) >= 2.0 * M_PI) return false;
+
+  int reversals = 0;
+  for (int i = 1; i < L; i++) {
+    const double step = ang[i] - ang[i - 1];
+    if (step != 0.0 && ((step > 0) != (sweep > 0))) reversals++;
+  }
+  if (reversals > (L - 1) * MAX_REVERSAL_FRAC) return false;
+
+  double s = 0.0;
+  for (int i = 0; i < L; i++) {
+    const double ddx = pts[2 * i] - cx, ddy = pts[2 * i + 1] - cy;
+    const double e = std::sqrt(ddx * ddx + ddy * ddy) - radius;
+    s += e * e;
+  }
+  *sse = s;
+  *length = std::abs(sweep) * radius;
+
+  const double mid_angle = ang[0] + sweep / 2.0;
+  ctrl[0][0] = pts[0];
+  ctrl[0][1] = pts[1];
+  ctrl[1][0] = cx + radius * std::cos(mid_angle);
+  ctrl[1][1] = cy + radius * std::sin(mid_angle);
+  ctrl[2][0] = pts[2 * (L - 1)];
+  ctrl[2][1] = pts[2 * (L - 1) + 1];
+  return true;
+}
+
+}  // namespace odnfit
+
+extern "C" {
+
+// MAP slider fit over one slide's cursor points (select.py:25-106).
+//
+//   pts            (L, 2) row-major float64 cursor points in osu!px
+//   inv_two_var    1 / (2 * noise_scale^2)
+//   lp_arc         log_prior_arc()
+//   lp_single      log_prior_single_bezier(n) indexed by n, len >= max_single+1
+//   max_single     MAX_SINGLE_BEZIER_CTRL (8)
+//   lp_poly_line   log_prior_poly(m, all_lines=true) indexed by m, len >= max_seg+2
+//   lp_poly_bez    log_prior_poly(m, all_lines=false), same indexing
+//   max_seg        MAX_POLY_SEGMENTS (16)
+//   out_type       'P' or 'B'
+//   out_length     winner's pixel arc length (sum over segments)
+//   out_ctrl       (max_seg * POLY_CTRL, 2) float64 capacity; UNROUNDED —
+//                  the Python wrapper rounds (np.round half-to-even parity)
+//   out_n_ctrl     control points written
+//
+// returns 0, or -1 for L < 2 (degenerate slider -> caller emits a circle)
+int odn_fit_slider(const double* pts, int64_t L, double inv_two_var,
+                   double lp_arc, const double* lp_single, int32_t max_single,
+                   const double* lp_poly_line, const double* lp_poly_bez,
+                   int32_t max_seg, char* out_type, double* out_length,
+                   double* out_ctrl, int32_t* out_n_ctrl) {
+  using namespace odnfit;
+  if (L < 2) return -1;
+  if (max_seg > MAX_SEG) max_seg = MAX_SEG;
+  if (max_single > MAX_CTRL) max_single = MAX_CTRL;
+  const int n = (int)L;
+
+  double best_cost = HUGE_VAL;
+  // winner state: arc (3 fixed ctrl + length) or segment list
+  bool best_is_arc = false;
+  double arc_len = 0.0, arc_ctrl[3][2];
+  Curve best_segs[MAX_SEG];
+  int best_n_segs = 0;
+
+  auto consider = [&](double cost) {
+    // NaN must never win nor poison pruning: mirror select.py's
+    // `not (cost < best)` guard
+    if (!(cost < best_cost)) return false;
+    best_cost = cost;
+    return true;
+  };
+
+  // 1. perfect arc
+  {
+    double sse, length, ctrl[3][2];
+    if (fit_arc(pts, n, &sse, &length, ctrl) &&
+        consider(sse * inv_two_var - lp_arc)) {
+      best_is_arc = true;
+      arc_len = length;
+      memcpy(arc_ctrl, ctrl, sizeof(ctrl));
+    }
+  }
+
+  // 2. single bezier, cheapest prior first (ties broken by lower degree,
+  //    matching Python's sorted() on (-logp, n) tuples)
+  {
+    struct Cand {
+      double penalty;
+      int nc;
+    } cands[MAX_CTRL + 1];
+    int nc_max = std::min((int)max_single, n), m = 0;
+    for (int k = 2; k <= nc_max; k++) cands[m++] = {-lp_single[k], k};
+    std::sort(cands, cands + m, [](const Cand& a, const Cand& b) {
+      return a.penalty != b.penalty ? a.penalty < b.penalty : a.nc < b.nc;
+    });
+    for (int i = 0; i < m; i++) {
+      if (cands[i].penalty >= best_cost) break;
+      Curve c;
+      double sse;
+      int am;
+      fit_span(pts, 0, n - 1, cands[i].nc, false, false, c, &sse, &am);
+      if (consider(sse * inv_two_var + cands[i].penalty)) {
+        best_is_arc = false;
+        best_segs[0] = c;
+        best_n_segs = 1;
+      }
+    }
+  }
+
+  // 3. poly-line then poly-bezier, greedy worst-span splitting
+  for (int family = 0; family < 2; family++) {
+    const bool all_lines = family == 0;
+    const double* lp = all_lines ? lp_poly_line : lp_poly_bez;
+    const int n_ctrl = all_lines ? 2 : POLY_CTRL;
+    if (-lp[2] >= best_cost) continue;
+
+    int lo_arr[MAX_SEG], hi_arr[MAX_SEG];
+    Curve segs[MAX_SEG];
+    double sses[MAX_SEG];
+    int cuts[MAX_SEG];
+    int n_spans = 1;
+    lo_arr[0] = 0;
+    hi_arr[0] = n - 1;
+    fit_span(pts, 0, n - 1, n_ctrl, false, false, segs[0], &sses[0], &cuts[0]);
+
+    for (int iter = 0; iter < max_seg - 1; iter++) {
+      // worst splittable span
+      int k = -1;
+      for (int s = 0; s < n_spans; s++)
+        if (hi_arr[s] - lo_arr[s] >= 2 && (k < 0 || sses[s] > sses[k])) k = s;
+      if (k < 0) break;
+      const int lo = lo_arr[k], hi = hi_arr[k];
+      int cut = cuts[k];
+      if (!(lo < cut && cut < hi)) cut = (lo + hi) / 2;
+
+      // insert: replace span k with (lo,cut) and (cut,hi)
+      for (int s = n_spans; s > k + 1; s--) {
+        lo_arr[s] = lo_arr[s - 1];
+        hi_arr[s] = hi_arr[s - 1];
+        segs[s] = segs[s - 1];
+        sses[s] = sses[s - 1];
+        cuts[s] = cuts[s - 1];
+      }
+      n_spans++;
+      lo_arr[k] = lo;
+      hi_arr[k] = cut;
+      lo_arr[k + 1] = cut;
+      hi_arr[k + 1] = hi;
+      fit_span(pts, lo, cut, n_ctrl, lo != 0, cut != n - 1, segs[k], &sses[k],
+               &cuts[k]);
+      fit_span(pts, cut, hi, n_ctrl, cut != 0, hi != n - 1, segs[k + 1],
+               &sses[k + 1], &cuts[k + 1]);
+
+      double total_sse = 0.0;
+      for (int s = 0; s < n_spans; s++) total_sse += sses[s];
+      if (consider(total_sse * inv_two_var + (-lp[n_spans]))) {
+        best_is_arc = false;
+        best_n_segs = n_spans;
+        memcpy(best_segs, segs, sizeof(Curve) * n_spans);
+      }
+      if (-lp[n_spans + 1] >= best_cost) break;
+    }
+  }
+
+  // materialize the winner
+  if (best_is_arc) {
+    *out_type = 'P';
+    *out_length = arc_len;
+    memcpy(out_ctrl, arc_ctrl, sizeof(arc_ctrl));
+    *out_n_ctrl = 3;
+  } else if (best_n_segs > 0) {
+    *out_type = 'B';
+    double total = 0.0;
+    int w = 0;
+    for (int s = 0; s < best_n_segs; s++) {
+      total += curve_length(best_segs[s]);
+      for (int j = 0; j < best_segs[s].n; j++) {
+        out_ctrl[2 * w] = best_segs[s].pts[j][0];
+        out_ctrl[2 * w + 1] = best_segs[s].pts[j][1];
+        w++;
+      }
+    }
+    *out_length = total;
+    *out_n_ctrl = w;
+  } else {
+    // nothing fit (cannot happen: single bezier always produces a candidate)
+    *out_type = 'B';
+    *out_length = 0.0;
+    *out_n_ctrl = 0;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -5,23 +5,16 @@ resident batching HTTP generation service (beyond the reference)."""
 
 from __future__ import annotations
 
-import os
-
 # persistent XLA compile cache shared across CLI invocations: without it
-# every `predict` pays the full pipeline compile (minutes on TPU) again.
-# Set at MODULE import — jax snapshots this env var when it is imported,
-# and the command bodies import jax lazily, after this module loads.
-# setdefault: an explicit JAX_COMPILATION_CACHE_DIR wins.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.join(
-        os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-        "osu_dreamer_tpu", "jax",
-    ),
-)
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# every `predict` pays the full pipeline compile (~20 s) again. This must
+# handle the case where a TPU-plugin sitecustomize imported jax BEFORE this
+# module (env vars alone are snapshotted too early there — measured: the
+# cache dir was never created and every invocation recompiled).
+from osu_dreamer_tpu.utils.compile_cache import enable_compile_cache
 
-import click
+enable_compile_cache()
+
+import click  # noqa: E402
 
 from .commands import (
     encode_latents,

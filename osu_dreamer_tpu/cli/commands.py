@@ -272,7 +272,10 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     # batch; shard_map over the data mesh on multi-chip hosts) — the same
     # builder the serve service uses, so the two surfaces cannot diverge.
     # Labels are replicated: every song shares the CLI's --diff rows.
-    from osu_dreamer_tpu.models.inference.sampler import build_batch_sampler
+    from osu_dreamer_tpu.models.inference.sampler import (
+        build_batch_sampler,
+        dequantize_chart,
+    )
 
     sample = build_batch_sampler(model, song_mesh, labels_sharded=False)
 
@@ -281,6 +284,8 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     queued: deque = deque()  # (audio_file, title, artist, [futures])
 
     def enqueue(audio_file, s_title, s_artist, L, chart, pred_labels) -> None:
+        # chart/pred_labels arrive as HOST numpy here (one batch-wide
+        # dequantized fetch in enqueue_batch, not a per-song transfer)
         signals = np.asarray(chart, np.float32)[:, :L].transpose(0, 2, 1)
         label_rows = np.asarray(pred_labels, np.float32)
         jobs = [
@@ -322,20 +327,30 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
             rfs = jax.device_put(rfs, song_sharding)
         else:
             waves, rfs = jnp.asarray(waves), jnp.asarray(rfs)
-        chart, pred_labels = sample(
+        hit_q, xy_q, pred_labels = sample(
             params, waves, rfs, labels, jax.random.PRNGKey(base_seed + batch_i),
             n_frames, out_frames, sample_steps, style_guidance,
         )
-        return batch, chart, pred_labels
+        # kick the device->host copies NOW: the quantized chart transfer
+        # then overlaps the next batch's host prep/dispatch instead of
+        # blocking inside enqueue_batch's np.asarray
+        for a in (hit_q, xy_q, pred_labels):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        return batch, hit_q, xy_q, pred_labels
 
-    def enqueue_batch(batch, chart, pred_labels) -> None:
+    def enqueue_batch(batch, hit_q, xy_q, pred_labels) -> None:
+        # ONE batch-wide fetch + dequantize (per-song device slices each
+        # paid their own relay round trip)
+        chart = dequantize_chart(hit_q, xy_q)
+        label_rows = np.asarray(pred_labels, np.float32)
         for s, (audio_file, s_title, s_artist, L, *_rest) in enumerate(batch):
             enqueue(
                 audio_file, s_title, s_artist, L,
-                chart[s * D : (s + 1) * D], pred_labels[s * D : (s + 1) * D],
+                chart[s * D : (s + 1) * D], label_rows[s * D : (s + 1) * D],
             )
 
-    pending = None  # (batch, chart, pred_labels)
+    pending = None  # (batch, hit_q, xy_q, pred_labels)
     batch: list = []
     batch_i = 0
     for i, audio_file in enumerate(audio_files):

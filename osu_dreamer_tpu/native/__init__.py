@@ -54,6 +54,14 @@ def _load() -> ctypes.CDLL | None:
         POINTER(c_double), POINTER(c_double), POINTER(c_double), c_int64, c_double,
     ]
     lib.odn_star_rating.restype = c_double
+    lib.odn_fit_slider.argtypes = [
+        POINTER(c_double), c_int64, c_double,           # pts, L, inv_two_var
+        c_double, POINTER(c_double), c_int32,           # lp_arc, lp_single, max_single
+        POINTER(c_double), POINTER(c_double), c_int32,  # lp_poly_line, lp_poly_bez, max_seg
+        ctypes.c_char_p, POINTER(c_double),             # out_type, out_length
+        POINTER(c_double), POINTER(c_int32),            # out_ctrl, out_n_ctrl
+    ]
+    lib.odn_fit_slider.restype = c_int32
 
     _lib = lib
     return lib

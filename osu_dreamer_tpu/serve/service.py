@@ -84,8 +84,10 @@ class _Pending:
     done: threading.Event = field(default_factory=threading.Event)
     # device-array slices of the batch outputs, set at dispatch; the REQUEST
     # thread materializes them (device->host) so the dispatcher never blocks
-    # on the relay link and batch N+1's program overlaps batch N's fetch
-    chart: Optional[Any] = None               # (D, Lp, X) on completion
+    # on the relay link and batch N+1's program overlaps batch N's fetch.
+    # chart slices arrive in the sampler's quantized transfer format
+    # ((D, Lp, 7) uint8, (D, Lp, 2) int16) — dequantize_chart reassembles
+    chart: Optional[Any] = None               # (hit_u8, xy_i16) on completion
     pred_labels: Optional[Any] = None         # (D, 5)
     error: Optional[BaseException] = None
     enqueued_at: float = field(default_factory=time.monotonic)
@@ -282,7 +284,7 @@ class GeneratorService:
         fresh = program not in self._seen_programs
         self._seen_programs.add(program)
 
-        chart, pred_labels = self._sample(
+        hit_q, xy_q, pred_labels = self._sample(
             self.params, waves, rfs, labels, key,
             first.n_frames, first.out_frames, first.steps, first.guidance,
         )
@@ -290,10 +292,14 @@ class GeneratorService:
         # dispatch is async, so the dispatcher is free to submit the next
         # batch while this one computes and while request threads pull their
         # results over the host link (the fetch is the expensive part on a
-        # tunneled chip — serializing it behind compute halved throughput)
+        # tunneled chip — serializing it behind compute halved throughput).
+        # Start the host copies now so the transfer overlaps the next batch
+        for a in (hit_q, xy_q, pred_labels):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
         D = len(first.labels)
         for i, r in enumerate(batch):
-            r.chart = chart[i * D : (i + 1) * D]
+            r.chart = (hit_q[i * D : (i + 1) * D], xy_q[i * D : (i + 1) * D])
             r.pred_labels = pred_labels[i * D : (i + 1) * D]
             r.done.set()
 
@@ -395,7 +401,9 @@ class GeneratorService:
         # device->host fetch + CPU tail on the request thread (deferred
         # device errors surface here, not in the dispatcher)
         try:
-            chart = np.asarray(req.chart, np.float32)
+            from osu_dreamer_tpu.models.inference.sampler import dequantize_chart
+
+            chart = dequantize_chart(*req.chart)
             pred_labels = np.asarray(req.pred_labels, np.float32)
         except Exception as e:
             with self.stats_lock:

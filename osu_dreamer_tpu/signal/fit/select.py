@@ -21,6 +21,25 @@ NOISE_SCALE_PX = 16.0
 MAX_SINGLE_BEZIER_CTRL = 8
 MAX_POLY_SEGMENTS = 16
 
+# log-prior tables for the native fitter, built once: the C++ path takes the
+# SAME constants (prior.py) so the two implementations never drift
+_NATIVE_PRIORS: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None
+
+
+def _native_priors() -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    global _NATIVE_PRIORS
+    if _NATIVE_PRIORS is None:
+        lp_single = np.zeros(MAX_SINGLE_BEZIER_CTRL + 1)
+        for k in range(2, MAX_SINGLE_BEZIER_CTRL + 1):
+            lp_single[k] = log_prior_single_bezier(k)
+        lp_line = np.zeros(MAX_POLY_SEGMENTS + 2)
+        lp_bez = np.zeros(MAX_POLY_SEGMENTS + 2)
+        for m in range(1, MAX_POLY_SEGMENTS + 2):
+            lp_line[m] = log_prior_poly(m, True)
+            lp_bez[m] = log_prior_poly(m, False)
+        _NATIVE_PRIORS = (lp_single, lp_line, lp_bez)
+    return _NATIVE_PRIORS
+
 
 def fit_slider(
     cursor_xy: np.ndarray,
@@ -28,6 +47,7 @@ def fit_slider(
     end_idx: int,
     num_repeats: int,
     noise_scale: float = NOISE_SCALE_PX,
+    use_native: bool | None = None,
 ) -> tuple[str, float, list[np.ndarray]]:
     """fit the best slider curve to one slide of the cursor path.
 
@@ -37,11 +57,23 @@ def fit_slider(
 
     returns (curve type "P"|"B", pixel length, integer control points);
     length 0 signals a degenerate slider the caller should emit as a circle.
+
+    ``use_native`` selects the C++ fitter (native/osudreamer_native.cpp
+    odn_fit_slider; default: whenever the library is loaded). The numpy path
+    below is the semantics oracle — tests assert the two agree.
     """
     one_slide_end = round(start_idx + (end_idx - start_idx) / num_repeats)
     points = cursor_xy[:, start_idx : one_slide_end + 1].T  # (L, 2)
     if points.shape[0] < 2:
         return "B", 0.0, []
+
+    if use_native is not False:
+        from osu_dreamer_tpu import native
+
+        if native.available():
+            return _fit_slider_native(points, noise_scale)
+        if use_native:
+            raise RuntimeError("native fitter requested but libosudreamer.so not built")
 
     inv_two_var = 1.0 / (2.0 * noise_scale**2)
 
@@ -104,3 +136,38 @@ def fit_slider(
         ctrl = [p.round().astype(int) for c in best_curves for p in c.pts]
         best_final = (length, ctrl)
     return best_type, best_final[0], best_final[1]
+
+
+def _fit_slider_native(
+    points: np.ndarray, noise_scale: float
+) -> tuple[str, float, list[np.ndarray]]:
+    """C++ MAP fit of one slide span (points (L, 2)); same contract as the
+    numpy path above. Control points come back unrounded so the np.round
+    here (half-to-even) matches the numpy path's rounding exactly."""
+    import ctypes
+    from ctypes import POINTER, c_char, c_double, c_int32
+
+    from osu_dreamer_tpu import native
+
+    lib = native._load()
+    assert lib is not None
+    lp_single, lp_line, lp_bez = _native_priors()
+    pts = np.ascontiguousarray(points, np.float64)
+    out_ctrl = np.empty((MAX_POLY_SEGMENTS * 4, 2), np.float64)
+    out_type = ctypes.create_string_buffer(2)
+    out_length = c_double()
+    out_n = c_int32()
+
+    def dptr(a: np.ndarray):
+        return a.ctypes.data_as(POINTER(c_double))
+
+    rc = lib.odn_fit_slider(
+        dptr(pts), pts.shape[0], 1.0 / (2.0 * noise_scale**2),
+        log_prior_arc(), dptr(lp_single), MAX_SINGLE_BEZIER_CTRL,
+        dptr(lp_line), dptr(lp_bez), MAX_POLY_SEGMENTS,
+        out_type, ctypes.byref(out_length), dptr(out_ctrl), ctypes.byref(out_n),
+    )
+    if rc != 0 or out_n.value == 0:
+        return "B", 0.0, []
+    ctrl = [p.round().astype(int) for p in out_ctrl[: out_n.value]]
+    return out_type.value.decode(), float(out_length.value), ctrl

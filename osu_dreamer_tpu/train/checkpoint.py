@@ -76,13 +76,62 @@ def save_train_checkpoint(
         shutil.rmtree(old)
 
 
+# ------------------------------------------------- param-path migration --
+# Historical module renames (old flax auto-name -> current), applied on
+# restore when the stored tree does not match the template. A key is only
+# renamed when it is MISSING from the template at that tree position and its
+# renamed form exists there — a legitimate current-model `Conv_i` that
+# coexists with a `DepthwiseConv_i` is never touched.
+PARAM_PATH_RENAMES: dict[str, str] = {
+    # u-head tap-sum swap: nn.Conv -> DepthwiseConv under flax auto-naming
+    # (models/diffusion/model.py:163-169); shapes are value-compatible
+    "Conv_0": "DepthwiseConv_0",
+    "Conv_1": "DepthwiseConv_1",
+}
+
+
+def migrate_param_paths(tree: Any, renames: Optional[dict[str, str]] = None) -> Any:
+    """rename dict keys anywhere in a pytree per the rename table, rebuilding
+    containers (dicts, lists, (named)tuples, dataclass nodes) in place.
+    Leaves pass through untouched."""
+    import dataclasses
+
+    table = PARAM_PATH_RENAMES if renames is None else renames
+    node = tree
+    if isinstance(node, dict):
+        return {table.get(k, k): migrate_param_paths(v, table) for k, v in node.items()}
+    if isinstance(node, tuple) and hasattr(node, "_fields"):  # namedtuple
+        return type(node)(*(migrate_param_paths(v, table) for v in node))
+    if isinstance(node, (list, tuple)):
+        return type(node)(migrate_param_paths(v, table) for v in node)
+    if dataclasses.is_dataclass(node) and not isinstance(node, type):
+        return node.replace(**{
+            f.name: migrate_param_paths(getattr(node, f.name), table)
+            for f in dataclasses.fields(node)
+        })
+    return node
+
+
 def restore_train_state(path: str | Path, template: TrainState) -> TrainState:
     """restore a TrainState for resuming training; `template` supplies the
-    pytree structure (abstract shapes are inferred from it)"""
+    pytree structure (abstract shapes are inferred from it).
+
+    Checkpoints written before a module rename restore through
+    ``PARAM_PATH_RENAMES``: on a structure mismatch the restore is retried
+    against a target whose keys carry the OLD names (inverse table), and the
+    restored tree is renamed forward into the current model's paths."""
     path = Path(path).absolute()
+    host_template = jax.device_get(template)
     with ocp.StandardCheckpointer() as ckptr:
-        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, jax.device_get(template))
-        return ckptr.restore(path / _STATE_DIR, target)
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, host_template)
+        try:
+            return ckptr.restore(path / _STATE_DIR, target)
+        except Exception:
+            inverse = {v: k for k, v in PARAM_PATH_RENAMES.items()}
+            old_target = migrate_param_paths(target, inverse)
+            restored = ckptr.restore(path / _STATE_DIR, old_target)
+            print(f"restored {path} through the param-path rename table")
+            return migrate_param_paths(restored, PARAM_PATH_RENAMES)
 
 
 def read_progress(path: str | Path) -> dict[str, int]:

@@ -124,8 +124,9 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
 
                     stream = itertools.islice(stream, skip_batches, None)
                     skip_batches = 0
+                stream_it = iter(stream)
                 epoch_complete = True
-                for batch in stream:
+                for batch in stream_it:
                     # progress must advance in lockstep with `state`: the
                     # step donates the old state's buffers, so an interrupt
                     # can only ever checkpoint the NEW state — pair it with
@@ -148,7 +149,15 @@ def fit(stage: Stage, args: FitArgs, resume_from: Optional[str] = None) -> Train
                             logger.scalars({"steps_per_sec": timer.steps_per_sec}, step, prefix="perf/")
                     if args.max_steps > 0 and step >= args.max_steps:
                         stop = True
-                        epoch_complete = False  # stream not exhausted
+                        # a stop that lands exactly on the epoch's final
+                        # batch DID complete the epoch: peek one batch to
+                        # tell (recording mid-epoch here would make a resume
+                        # replay an empty epoch and re-validate identical
+                        # state, double-counting it toward early stopping).
+                        # The peeked batch is dropped — a resume regenerates
+                        # the deterministic per-epoch stream
+                        _sent = object()
+                        epoch_complete = next(stream_it, _sent) is _sent
                         break
                 if epoch == args.trace_epoch:
                     # the trace must cover real device work: block before exit

@@ -130,3 +130,66 @@ class TestResampleAliasing:
         out = native.resample(tone, rate_in, rate_out)
         mid = np.asarray(out[1000:-1000])
         assert np.abs(mid).max() < 0.02, np.abs(mid).max()
+
+
+class TestNativeSliderFit:
+    """C++ MAP slider fitter (odn_fit_slider) vs the numpy oracle
+    (signal/fit/select.py): same family, same rounded control points, same
+    length — across arcs, lines, beziers, and noisy random walks."""
+
+    def _shapes(self, rng, trial):
+        kind = trial % 4
+        L = int(rng.integers(5, 150))
+        t = np.linspace(0, 1, L)
+        if kind == 0:  # arc
+            th = rng.uniform(0.3, 2.8)
+            r = rng.uniform(30, 300)
+            c = rng.uniform(100, 300, 2)
+            xy = c[:, None] + r * np.vstack([np.cos(th * t), np.sin(th * t)])
+        elif kind == 1:  # line
+            p0, p1 = rng.uniform(0, 400, 2), rng.uniform(0, 400, 2)
+            xy = p0[:, None] * (1 - t) + p1[:, None] * t
+        elif kind == 2:  # cubic bezier
+            P = rng.uniform(0, 400, (4, 2))
+            B = np.array([(1 - t) ** 3, 3 * t * (1 - t) ** 2, 3 * t ** 2 * (1 - t), t ** 3])
+            xy = P.T @ B
+        else:  # wiggly random walk (forces poly families)
+            xy = np.cumsum(rng.normal(0, 8, (2, L)), axis=1) + 200
+        return xy + rng.normal(0, 2.0, xy.shape), L
+
+    def test_matches_numpy_oracle(self, native):
+        from osu_dreamer_tpu.signal.fit.select import fit_slider
+
+        rng = np.random.default_rng(1234)
+        for trial in range(80):
+            xy, L = self._shapes(rng, trial)
+            tn, ln, cn = fit_slider(xy, 0, L - 1, 1, use_native=True)
+            tp, lp, cp = fit_slider(xy, 0, L - 1, 1, use_native=False)
+            assert tn == tp, f"trial {trial}: family {tn} != {tp}"
+            assert abs(ln - lp) < max(1e-6 * max(lp, 1.0), 1e-3), (trial, ln, lp)
+            assert len(cn) == len(cp), (trial, len(cn), len(cp))
+            for a, b in zip(cn, cp):
+                assert (a == b).all(), (trial, a, b)
+
+    def test_repeats_and_degenerate(self, native):
+        from osu_dreamer_tpu.signal.fit.select import fit_slider
+
+        rng = np.random.default_rng(7)
+        xy = np.cumsum(rng.normal(0, 6, (2, 90)), axis=1) + 200
+        # 3 repeats: only the first third is fitted — both paths agree
+        tn, ln, cn = fit_slider(xy, 0, 89, 3, use_native=True)
+        tp, lp, cp = fit_slider(xy, 0, 89, 3, use_native=False)
+        assert tn == tp and abs(ln - lp) < 1e-3
+        assert all((a == b).all() for a, b in zip(cn, cp))
+        # single-frame span: degenerate -> circle signal, both paths
+        assert fit_slider(xy, 4, 4, 1, use_native=True)[1] == 0.0
+        assert fit_slider(xy, 4, 4, 1, use_native=False)[1] == 0.0
+
+    def test_nan_cursor_never_wins(self, native):
+        """NaN cursor input must not poison the branch-and-bound: the fit
+        returns SOMETHING (possibly length 0) without crashing"""
+        from osu_dreamer_tpu.signal.fit.select import fit_slider
+
+        xy = np.full((2, 40), np.nan)
+        t, length, ctrl = fit_slider(xy, 0, 39, 1, use_native=True)
+        assert t in ("P", "B")

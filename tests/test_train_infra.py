@@ -528,3 +528,91 @@ class TestFitLoop:
         n0 = len(produced)
         time.sleep(0.6)
         assert len(produced) - n0 <= 1, "worker kept producing after abandon"
+
+
+class TestParamPathMigration:
+    """checkpoints written before a module rename (Conv_i -> DepthwiseConv_i,
+    models/diffusion/model.py:163-169) restore through the rename table in
+    train/checkpoint.py instead of failing on a tree mismatch."""
+
+    def _tiny_state(self, rename_to_old=False):
+        import flax.linen as nn
+        import jax
+        import jax.numpy as jnp
+
+        from osu_dreamer_tpu.nn.blocks import DepthwiseConv
+        from osu_dreamer_tpu.train.state import (
+            OptimizerArgs, create_train_state, make_optimizer,
+        )
+
+        class Head(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Sequential(
+                    [DepthwiseConv(4, 3, dtype=jnp.float32),
+                     nn.Dense(4),
+                     DepthwiseConv(4, 3, dtype=jnp.float32)],
+                    name="u_convs",
+                )(x)
+
+        m = Head()
+        params = m.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 4)))
+        state = create_train_state(
+            params, make_optimizer(OptimizerArgs()), jax.random.PRNGKey(1)
+        )
+        if rename_to_old:
+            # a real pre-rename checkpoint has old names EVERYWHERE the
+            # param tree is mirrored (params, adam mu/nu): apply the inverse
+            # table through the same container walker
+            from osu_dreamer_tpu.train.checkpoint import (
+                PARAM_PATH_RENAMES, migrate_param_paths,
+            )
+
+            inv = {v: k for k, v in PARAM_PATH_RENAMES.items()}
+            state = migrate_param_paths(state, inv)
+            assert "Conv_0" in state.params["params"]
+        return state
+
+    def test_old_checkpoint_restores_into_renamed_model(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from osu_dreamer_tpu.train.checkpoint import (
+            restore_train_state, save_train_checkpoint,
+        )
+
+        old_state = self._tiny_state(rename_to_old=True)
+        save_train_checkpoint(tmp_path / "ckpt", old_state, {"h": 1}, None)
+
+        template = self._tiny_state(rename_to_old=False)
+        restored = restore_train_state(tmp_path / "ckpt", template)
+
+        # same treedef as the CURRENT model, values from the old checkpoint
+        # (compare against the old state mapped forward to the new names —
+        # old/new key spellings flatten in different orders)
+        from osu_dreamer_tpu.train.checkpoint import (
+            PARAM_PATH_RENAMES, migrate_param_paths,
+        )
+
+        expected = migrate_param_paths(old_state, PARAM_PATH_RENAMES)
+        assert jax.tree.structure(restored) == jax.tree.structure(template)
+        for new_leaf, old_leaf in zip(
+            jax.tree.leaves(restored), jax.tree.leaves(expected)
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(new_leaf), np.asarray(old_leaf)
+            )
+
+    def test_current_checkpoint_still_restores_directly(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from osu_dreamer_tpu.train.checkpoint import (
+            restore_train_state, save_train_checkpoint,
+        )
+
+        state = self._tiny_state()
+        save_train_checkpoint(tmp_path / "ckpt", state, {"h": 1}, None)
+        restored = restore_train_state(tmp_path / "ckpt", state)
+        for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
