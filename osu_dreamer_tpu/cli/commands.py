@@ -283,6 +283,22 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     # device never waits on the host tail
     queued: deque = deque()  # (audio_file, title, artist, [futures])
 
+    # per-phase wall-clock attribution, printed when OSU_DREAMER_TIMING=1
+    # (bench.py's e2e measurement parses it into the attribution table)
+    import time as _time
+    from collections import defaultdict
+    from contextlib import contextmanager
+
+    timers: dict = defaultdict(float)
+
+    @contextmanager
+    def _phase(name: str):
+        t0 = _time.perf_counter()
+        try:
+            yield
+        finally:
+            timers[name] += _time.perf_counter() - t0
+
     def enqueue(audio_file, s_title, s_artist, L, chart, pred_labels) -> None:
         # chart/pred_labels arrive as HOST numpy here (one batch-wide
         # dequantized fetch in enqueue_batch, not a per-song transfer)
@@ -294,8 +310,10 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
             for i, (row, sig) in enumerate(zip(label_rows, signals))
         ]
         if pool is None:
-            done = [_decode_osu_entry(*j) for j in jobs]
-            _write_mapset(audio_file, s_title, s_artist, done)
+            with _phase("decode"):
+                done = [_decode_osu_entry(*j) for j in jobs]
+            with _phase("zip"):
+                _write_mapset(audio_file, s_title, s_artist, done)
         else:
             queued.append(
                 (audio_file, s_title, s_artist,
@@ -330,7 +348,7 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         hit_q, xy_q, pred_labels = sample(
             params, waves, rfs, labels, jax.random.PRNGKey(base_seed + batch_i),
             n_frames, out_frames, sample_steps, style_guidance,
-        )
+        )  # async dispatch: returns before the device finishes
         # kick the device->host copies NOW: the quantized chart transfer
         # then overlaps the next batch's host prep/dispatch instead of
         # blocking inside enqueue_batch's np.asarray
@@ -342,8 +360,9 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     def enqueue_batch(batch, hit_q, xy_q, pred_labels) -> None:
         # ONE batch-wide fetch + dequantize (per-song device slices each
         # paid their own relay round trip)
-        chart = dequantize_chart(hit_q, xy_q)
-        label_rows = np.asarray(pred_labels, np.float32)
+        with _phase("fetch"):
+            chart = dequantize_chart(hit_q, xy_q)
+            label_rows = np.asarray(pred_labels, np.float32)
         for s, (audio_file, s_title, s_artist, L, *_rest) in enumerate(batch):
             enqueue(
                 audio_file, s_title, s_artist, L,
@@ -356,9 +375,11 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     for i, audio_file in enumerate(audio_files):
         song_title, song_artist = _resolve_metadata(audio_file, title, artist)
         click.echo(f"[{i + 1}/{len(audio_files)}] {audio_file.name}: featurizing...")
-        wave = load_wave(audio_file)
+        with _phase("load_wave"):
+            wave = load_wave(audio_file)
         L = max(1, -(-len(wave) // HOP_LEN))
-        buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
+        with _phase("prep"):
+            buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
         entry = (audio_file, song_title, song_artist, L, buf, real_frames, n_frames, out_frames)
 
         # a bucket change or a full batch flushes the current one
@@ -367,7 +388,8 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
             or (batch[0][6], batch[0][7]) != (n_frames, out_frames)
         ):
             click.echo(f"  sampling {len(batch)} song(s) x {D} difficulties at {sample_steps} steps...")
-            out = dispatch(batch, batch_i)
+            with _phase("upload_dispatch"):
+                out = dispatch(batch, batch_i)
             batch_i += 1
             batch = []
             if pending is not None:
@@ -378,7 +400,8 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
 
     if batch:
         click.echo(f"  sampling {len(batch)} song(s) x {D} difficulties at {sample_steps} steps...")
-        out = dispatch(batch, batch_i)
+        with _phase("upload_dispatch"):
+            out = dispatch(batch, batch_i)
         if pending is not None:
             enqueue_batch(*pending)
             flush(block=False)
@@ -389,29 +412,18 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
     if pool is not None:
         pool.close()
         pool.join()
+    if os.environ.get("OSU_DREAMER_TIMING"):
+        total = sum(timers.values())
+        parts = " ".join(f"{k}={v * 1e3:.0f}ms" for k, v in sorted(timers.items()))
+        click.echo(f"[timing] host-phase totals: {parts} (sum {total * 1e3:.0f}ms;"
+                   " device compute overlaps upload_dispatch/fetch waits)")
 
 
 def _spawn_serialize_pool(workers: int):
-    """a spawn-context process pool for .osu decoding.
+    """spawn-context .osu-decode pool (shared impl: utils/procpool.py)"""
+    from osu_dreamer_tpu.utils.procpool import spawn_serialize_pool
 
-    - spawn, not fork: the parent runs a multithreaded JAX runtime and
-      forking it can deadlock.
-    - the TPU-relay env var is scrubbed while the workers start (spawn is
-      eager in ``Pool.__init__``) so each worker gets a plain interpreter:
-      the sitecustomize in this image would otherwise open a device-relay
-      session per process. Workers never touch JAX — they only run the
-      host-side signal codec.
-    """
-    import multiprocessing
-    import os
-
-    ctx = multiprocessing.get_context("spawn")
-    saved = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-    try:
-        return ctx.Pool(workers)
-    finally:
-        if saved is not None:
-            os.environ["PALLAS_AXON_POOL_IPS"] = saved
+    return spawn_serialize_pool(workers)
 
 
 def _decode_osu_entry(title, artist, audio_name, version_i, label_row, signal,
@@ -455,7 +467,8 @@ def _write_mapset(audio_file, title, artist, entries) -> None:
 @click.option("--infer-tempo", is_flag=True, help="infer real timing points from the predicted onset envelope")
 @click.option("--snap-divisor", type=click.IntRange(min=0), default=0, help="snap hit times to 1/N of the inferred beat; implies --infer-tempo. 0 = off")
 @click.option("--devices", type=click.IntRange(min=1), default=None, help="local devices to shard request batches over (default: all; batches pad to a multiple of this)")
-def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_ms: float, infer_tempo: bool, snap_divisor: int, devices: Optional[int]):
+@click.option("--serialize-workers", type=click.IntRange(min=1), default=None, help=".osu-decode worker processes (default: one per core, up to 4; 1 disables the pool)")
+def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_ms: float, infer_tempo: bool, snap_divisor: int, devices: Optional[int], serialize_workers: Optional[int]):
     """run a resident map-generation HTTP service (POST /generate).
 
     Beyond the reference's one-shot predict CLI: loads the artifact once,
@@ -471,6 +484,7 @@ def serve(model_path: Path, host: str, port: int, max_batch: int, batch_window_m
         infer_tempo=infer_tempo,
         snap_divisor=snap_divisor,
         devices=devices,
+        serialize_workers=serialize_workers,
     )
     server = MapServer(service, host=host, port=port)
     bound_host, bound_port = server.address

@@ -68,17 +68,19 @@ class SpecFeatures(nn.Module):
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray) -> jnp.ndarray:
+        # norms carry affine gains like the reference's (RMSNorm(8/32/d_a),
+        # spec_features.py:20-31) — per-channel stem gains are trainable
         x = spec[..., None]  # (B, L, F, 1)
         x = nn.Conv(8, (3, 8), strides=(1, 6), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="c1")(x)
-        x = nn.silu(rms_norm(x))
+        x = nn.silu(RMSNorm(8, name="n1")(x))
         x = nn.Conv(32, (3, 6), strides=(1, 4), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="c2")(x)
-        x = nn.silu(rms_norm(x))
+        x = nn.silu(RMSNorm(32, name="n2")(x))
         B, L = x.shape[:2]
         x = x.reshape(B, L, -1)  # flatten (freq, channel)
         x = nn.Dense(self.h_dim, dtype=self.dtype, name="proj")(x)
-        return nn.silu(rms_norm(x))
+        return nn.silu(RMSNorm(self.h_dim, name="n3")(x))
 
 
 class Downsample(nn.Module):

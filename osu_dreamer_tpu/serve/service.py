@@ -116,6 +116,7 @@ class GeneratorService:
         infer_tempo: bool = False,
         snap_divisor: int = 0,
         devices: Optional[int] = None,
+        serialize_workers: Optional[int] = None,
     ):
         import jax
 
@@ -130,6 +131,20 @@ class GeneratorService:
         self.batch_window = batch_window_ms / 1000.0
         self.infer_tempo = infer_tempo
         self.snap_divisor = int(snap_divisor)
+
+        # .osu decode pool: the per-request host tail (peak-pick + slider
+        # MAP fit) is GIL-bound — on a multi-core host it must fan out over
+        # processes or the service tops out at ~1 core of decode regardless
+        # of chip headroom. Default: one worker per core up to 4; 1 core ->
+        # no pool (spawn overhead with no parallelism to gain)
+        if serialize_workers is None:
+            serialize_workers = min(4, os.cpu_count() or 1)
+        self._pool = None
+        if serialize_workers > 1:
+            from osu_dreamer_tpu.utils.procpool import spawn_serialize_pool
+
+            self._pool = spawn_serialize_pool(serialize_workers)
+        self.serialize_workers = serialize_workers if self._pool else 1
 
         # multi-device serving: shard the song axis of every dispatch over a
         # 1-D data mesh (the same machinery as bulk predict --batch-songs).
@@ -412,14 +427,28 @@ class GeneratorService:
         title = title or Path(audio_name).stem
         artist = artist or "Unknown Artist"
         signals = chart[:, : req.L].transpose(0, 2, 1)  # (D, X, L)
-        entries = [
-            decode_osu_entry(
-                title, artist, audio_name, i, row, sig,
-                infer_tempo=self.infer_tempo if infer_tempo is None else infer_tempo,
-                snap_divisor=self.snap_divisor if snap_divisor is None else snap_divisor,
-            )
+        it = self.infer_tempo if infer_tempo is None else infer_tempo
+        sd = self.snap_divisor if snap_divisor is None else snap_divisor
+        jobs = [
+            (title, artist, audio_name, i, row, sig)
             for i, (row, sig) in enumerate(zip(pred_labels, signals))
         ]
+        if self._pool is not None:
+            # fan the per-diff decode over the pool: requests share it, so a
+            # multi-core host scales decode across concurrent requests too
+            rs = [
+                self._pool.apply_async(
+                    decode_osu_entry, j,
+                    {"infer_tempo": it, "snap_divisor": sd},
+                )
+                for j in jobs
+            ]
+            entries = [r.get() for r in rs]
+        else:
+            entries = [
+                decode_osu_entry(*j, infer_tempo=it, snap_divisor=sd)
+                for j in jobs
+            ]
 
         out = io.BytesIO()
         with zipfile.ZipFile(out, "w") as z:
@@ -438,6 +467,7 @@ class GeneratorService:
             "devices_visible": len(self._jax.local_devices()),
             "chunk": self.chunk,
             "max_batch": self.max_batch,
+            "serialize_workers": self.serialize_workers,
             "uptime_s": round(time.time() - self.stats["started_at"], 1),
         }
 
@@ -458,3 +488,7 @@ class GeneratorService:
             r.error = RuntimeError("service closed")
             r.done.set()
         self._dispatcher.join(timeout=timeout)
+        if self._pool is not None:
+            self._pool.close()
+            self._pool.join()
+            self._pool = None

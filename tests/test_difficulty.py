@@ -226,3 +226,54 @@ def test_sub50ms_gaps_decay_by_raw_delta():
     # py and native must agree on the changed path
     bm = Beatmap(pattern(20.0))
     assert abs(star_rating(bm) - _star_rating_py(bm)) < 1e-6
+
+
+class TestRealisticFixtures:
+    """frozen hand-designed .osu fixtures (tests/fixtures/) with expected
+    official-scale star bands — pins the SR calibration tighter than the
+    synthetic archetypes (VERDICT r3 item 10). Patterns: a sparse 90 BPM
+    1/1 Easy, a 180 BPM 1/2-jump + 1/4-triple Insane, a 200 BPM
+    cross-screen-jump + 9-note-stream Extra. Bands are generous enough to
+    absorb classic-model drift but tight enough that a scale regression
+    (e.g. a broken strain decay or distance weight) trips them."""
+
+    FIXTURES = {
+        # name -> (lo, hi) expected star band
+        "gentle-easy.osu": (0.6, 2.0),
+        "standard-insane.osu": (3.8, 5.8),
+        "jump-extra.osu": (5.8, 8.2),
+    }
+
+    def _sr(self, name):
+        from pathlib import Path
+
+        p = Path(__file__).parent / "fixtures" / name
+        return star_rating(Beatmap(p.read_text()))
+
+    @pytest.mark.parametrize("name", sorted(FIXTURES))
+    def test_band(self, name):
+        lo, hi = self.FIXTURES[name]
+        sr = self._sr(name)
+        assert lo <= sr <= hi, f"{name}: SR {sr:.2f} outside [{lo}, {hi}]"
+
+    def test_ordering(self):
+        srs = {n: self._sr(n) for n in self.FIXTURES}
+        assert (
+            srs["gentle-easy.osu"]
+            < srs["standard-insane.osu"]
+            < srs["jump-extra.osu"]
+        )
+
+    def test_native_matches_python_on_fixtures(self):
+        from pathlib import Path
+
+        from osu_dreamer_tpu import native
+
+        if not native.available():
+            pytest.skip("native library not built")
+        for name in self.FIXTURES:
+            p = Path(__file__).parent / "fixtures" / name
+            bm = Beatmap(p.read_text())
+            py = _star_rating_py(bm)
+            nat = star_rating(bm)
+            assert abs(py - nat) < 1e-6, (name, py, nat)

@@ -618,3 +618,272 @@ def test_multihost_mesh_validation(monkeypatch):
     # odd global batch cannot split over 2 processes
     with _pytest.raises(ValueError, match="processes"):
         cfg.build_parallelism(cfg.ParallelArgs(), batch_size=7)
+
+
+@pytest.mark.slow
+def test_multihost_hybrid_dp_tp(tmp_path):
+    """(2-host DP) x (2 TP): 2 jax.distributed processes x 2 local devices,
+    ParallelArgs(tp=2) -> a (data=2, model=2) mesh whose data axis spans the
+    processes and whose model axis stays process-local. Verifies the qkv
+    kernel is model-sharded, each host feeds only its half of the global
+    batch, and the psum'd loss/grads match a single-process run (VERDICT r3
+    item 8: hybrid multi-host mesh)."""
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("127.0.0.1", 0))
+        port = sock.getsockname()[1]
+
+    child_code = """
+import sys, jax, numpy as np, jax.numpy as jnp
+pid = int(sys.argv[1]); port = sys.argv[2]
+from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
+from jax.sharding import PartitionSpec as P
+
+par = build_parallelism(
+    ParallelArgs(tp=2, coordinator=f"127.0.0.1:{port}", num_processes=2,
+                 process_id=pid),
+    batch_size=4,
+)
+assert par.process_count == 2
+assert par.mesh.shape == {"data": 2, "model": 2}, par.mesh.shape
+# model axis must be process-local (TP collectives ride ICI, not DCN):
+# every row of the mesh holds devices of ONE process
+devs = np.asarray(par.mesh.devices)
+for row in devs:
+    assert len({d.process_index for d in row}) == 1, devs
+
+# tiny attention-shaped params so the TP path rules engage
+from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+from osu_dreamer_tpu.models.diffusion.model import BackboneArgs
+from osu_dreamer_tpu.models.diffusion.train import (
+    DiffusionTrainArgs, LatentBatch, init_diffusion_training,
+)
+
+tiny = DiffusionModelArgs(
+    emb_dim=4, a_dim=16, style_dim=8, global_cond_dim=16, backbone_dim=16,
+    u_head_dim=8,
+    backbone=BackboneArgs(depth=1, expand=2, head_dim=8, n_heads=2, radius=1),
+)
+key = jax.random.PRNGKey(0)
+_, state, train_step = init_diffusion_training(
+    tiny, DiffusionTrainArgs(), key, seq_len=8
+)
+
+# deterministic global batch; THIS process materializes rows 2p..2p+1
+k1, k2, k3 = jax.random.split(key, 3)
+B = 4
+h = jax.device_get(jax.random.normal(k1, (B, 8, tiny.a_dim)))
+z = jax.device_get(jax.random.normal(k2, (B, 8, tiny.emb_dim)))
+s = jax.device_get(jax.random.normal(k3, (B, tiny.style_dim)))
+lo = 2 * pid
+local = LatentBatch(h=h[lo:lo+2], z=z[lo:lo+2], s=s[lo:lo+2],
+                    labels=np.ones((2, 5), np.float32))
+
+with par.mesh:
+    st = par.prepare_state(state)
+    qkv = st.params["params"]["net"]["layer0"]["attn"]["qkv"]["kernel"]
+    assert qkv.sharding.spec == P(None, "model"), qkv.sharding
+    gb = par.shard_batch(local)
+    assert gb.h.shape == (4, 8, 16), gb.h.shape  # global shape
+    new_state, metrics = train_step(st, gb)
+    jax.block_until_ready(new_state.params)
+print(f"HYBRID-LOSS-{pid}:{float(metrics['loss']):.10f}")
+print(f"HYBRID-OK-{pid}")
+"""
+    code_path = tmp_path / "hy_child.py"
+    code_path.write_text(child_code)
+    env = {
+        **CHILD_ENV,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "PYTHONPATH": f"{REPO}:{CHILD_ENV.get('PYTHONPATH', '')}",
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(code_path), str(i), str(port)],
+            env=env, cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for proc in procs:
+        stdout, stderr = proc.communicate(timeout=480)
+        assert proc.returncode == 0, f"child failed:\n{stdout}\n{stderr}"
+        outs.append(stdout)
+    assert "HYBRID-OK-0" in outs[0] and "HYBRID-OK-1" in outs[1]
+    losses = [o.split(f"HYBRID-LOSS-{i}:")[1].splitlines()[0]
+              for i, o in enumerate(outs)]
+    assert losses[0] == losses[1]  # replicated loss agrees across hosts
+
+    # oracle: the same batch/state on a single process (data=1, model=2)
+    oracle = run_child(
+        """
+import jax, numpy as np, jax.numpy as jnp
+from osu_dreamer_tpu.parallel import shard_by_rules, tp_mesh, make_global_batch
+from osu_dreamer_tpu.models.diffusion import DiffusionModelArgs
+from osu_dreamer_tpu.models.diffusion.model import BackboneArgs
+from osu_dreamer_tpu.models.diffusion.train import (
+    DiffusionTrainArgs, LatentBatch, init_diffusion_training,
+)
+tiny = DiffusionModelArgs(
+    emb_dim=4, a_dim=16, style_dim=8, global_cond_dim=16, backbone_dim=16,
+    u_head_dim=8,
+    backbone=BackboneArgs(depth=1, expand=2, head_dim=8, n_heads=2, radius=1),
+)
+key = jax.random.PRNGKey(0)
+_, state, train_step = init_diffusion_training(
+    tiny, DiffusionTrainArgs(), key, seq_len=8
+)
+k1, k2, k3 = jax.random.split(key, 3)
+B = 4
+batch = LatentBatch(
+    h=jax.random.normal(k1, (B, 8, tiny.a_dim)),
+    z=jax.random.normal(k2, (B, 8, tiny.emb_dim)),
+    s=jax.random.normal(k3, (B, tiny.style_dim)),
+    labels=jnp.ones((B, 5)),
+)
+mesh = tp_mesh(2, jax.devices()[:2])
+with mesh:
+    st = shard_by_rules(state, mesh)
+    from osu_dreamer_tpu.parallel import shard_batch
+    new_state, metrics = train_step(st, shard_batch(batch, mesh))
+    jax.block_until_ready(new_state.params)
+print(f"ORACLE-LOSS:{float(metrics['loss']):.10f}")
+"""
+    )
+    oracle_loss = float(oracle.split("ORACLE-LOSS:")[1].splitlines()[0])
+    assert abs(float(losses[0]) - oracle_loss) < 5e-5, (losses[0], oracle_loss)
+
+
+@pytest.mark.slow
+def test_multihost_kill_resume_equality(tmp_path):
+    """2 processes x 4 local devices (8 global) DP fit with a mid-epoch
+    interrupt on BOTH processes, then a resumed 2-process run: the combined
+    loss trace and final params must EXACTLY match an uninterrupted
+    2-process run (VERDICT r3 item 8: multi-host preemption recovery)."""
+    import json
+    import socket
+
+    child_code = """
+import json, sys
+import numpy as np
+pid = int(sys.argv[1]); port = sys.argv[2]
+out_dir = sys.argv[3]; interrupt_after = int(sys.argv[4])
+resume = sys.argv[5] == "resume"
+
+import jax, jax.numpy as jnp, optax
+from osu_dreamer_tpu.parallel import ParallelArgs, build_parallelism
+from osu_dreamer_tpu.train.loop import FitArgs, Stage, fit
+from osu_dreamer_tpu.train.state import create_train_state
+
+par = build_parallelism(
+    ParallelArgs(coordinator=f"127.0.0.1:{port}", num_processes=2,
+                 process_id=pid),
+    batch_size=8,
+)
+assert len(jax.devices()) == 8 and len(jax.local_devices()) == 4
+
+tx = optax.adam(0.1)
+STEPS, EPOCHS = 4, 2
+
+def make_state():
+    return create_train_state({"w": jnp.zeros(4)}, tx, jax.random.PRNGKey(0))
+
+def stream(epoch):
+    # each host loads ITS half of every deterministic global batch
+    rng = np.random.default_rng(1000 + epoch)
+    out = []
+    for _ in range(STEPS):
+        full = rng.normal(size=(8, 4)).astype(np.float32)
+        out.append(full[4 * pid : 4 * pid + 4])
+    return out
+
+@jax.jit
+def train_step(st, batch):
+    rng, k = jax.random.split(st.rng)
+    def loss_fn(p):
+        return jnp.mean((batch - p["w"][None, :]) ** 2) + 1e-3 * jnp.sum(
+            jax.random.normal(k, (1,))
+        ) * 0
+    loss, grads = jax.value_and_grad(loss_fn)(st.params)
+    updates, opt_state = tx.update(grads, st.opt_state, st.params)
+    params = optax.apply_updates(st.params, updates)
+    return st.replace(step=st.step + 1, params=params, opt_state=opt_state,
+                      rng=rng), {"loss": loss}
+
+trace = []
+calls = {"n": 0}
+
+def recording_step(st, local_batch):
+    if interrupt_after >= 0 and calls["n"] >= interrupt_after:
+        raise KeyboardInterrupt
+    calls["n"] += 1
+    gb = par.shard_batch(local_batch)
+    st, m = train_step(st, gb)
+    trace.append(float(m["loss"]))
+    return st, m
+
+stage = Stage(
+    name="mh", hparams={}, state=make_state(),
+    train_step=recording_step, train_stream=stream,
+    prepare_state=par.prepare_state,
+)
+last = f"{out_dir}/run/last"
+final = fit(
+    stage,
+    FitArgs(run_dir=f"{out_dir}/run", max_epochs=EPOCHS, save_last_every_s=0.0),
+    resume_from=last if resume else None,
+)
+w = np.asarray(jax.device_get(final.params["w"])).tolist()
+with open(f"{out_dir}/trace_{pid}_{'r' if resume else 'a'}.json", "w") as f:
+    json.dump({"trace": trace, "w": w}, f)
+print(f"MHKR-OK-{pid}")
+"""
+    code_path = tmp_path / "mhkr_child.py"
+    code_path.write_text(child_code)
+
+    env_base = {
+        **CHILD_ENV,
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "PYTHONPATH": f"{REPO}:{CHILD_ENV.get('PYTHONPATH', '')}",
+    }
+
+    def launch(out_dir, interrupt_after, resume, expect_fail=False):
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            port = sock.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(code_path), str(i), str(port),
+                 str(out_dir), str(interrupt_after),
+                 "resume" if resume else "fresh"],
+                env=env_base, cwd=REPO,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+            for i in range(2)
+        ]
+        for proc in procs:
+            stdout, stderr = proc.communicate(timeout=900)
+            assert proc.returncode == 0, f"child failed:\n{stdout}\n{stderr}"
+
+    # uninterrupted oracle run
+    a_dir = tmp_path / "a"
+    a_dir.mkdir()
+    launch(a_dir, -1, resume=False)
+
+    # interrupted mid-epoch-1 (step 6 of 12) on both processes, then resume
+    b_dir = tmp_path / "b"
+    b_dir.mkdir()
+    launch(b_dir, 6, resume=False)
+    meta = json.loads((b_dir / "run" / "last" / "meta.json").read_text())
+    assert meta["progress"] == {"epoch": 1, "batch_in_epoch": 2}
+    launch(b_dir, -1, resume=True)
+
+    for pid in range(2):
+        a = json.loads((a_dir / f"trace_{pid}_a.json").read_text())
+        b1 = json.loads((b_dir / f"trace_{pid}_a.json").read_text())
+        b2 = json.loads((b_dir / f"trace_{pid}_r.json").read_text())
+        assert b1["trace"] + b2["trace"] == a["trace"], (
+            pid, b1["trace"], b2["trace"], a["trace"])
+        assert b2["w"] == a["w"]

@@ -375,3 +375,41 @@ class TestHTTP:
         with zipfile.ZipFile(io.BytesIO(osz)) as z:
             for n in z.namelist():
                 assert ".." not in n and not n.startswith("/"), n
+
+
+@pytest.mark.slow
+class TestSerializePool:
+    def test_pool_decode_matches_inline(self, artifact_path, tmp_path):
+        """the .osu-decode worker pool (serialize_workers >= 2) produces the
+        same entries as inline decode (seeded request, byte equality)"""
+        from osu_dreamer_tpu.serve import GeneratorService
+
+        audio = _wav_bytes(tmp_path, 2.0)
+        kw = dict(sample_steps=2, title="T", artist="A", seed=99)
+
+        inline = GeneratorService(
+            artifact_path, max_batch=1, batch_window_ms=5.0,
+            serialize_workers=1,
+        )
+        try:
+            _, a = inline.generate(audio, **kw)
+            assert inline.serialize_workers == 1
+        finally:
+            inline.close()
+
+        pooled = GeneratorService(
+            artifact_path, max_batch=1, batch_window_ms=5.0,
+            serialize_workers=2,
+        )
+        try:
+            assert pooled.serialize_workers == 2
+            assert pooled.health()["serialize_workers"] == 2
+            _, b = pooled.generate(audio, **kw)
+        finally:
+            pooled.close()
+
+        za = zipfile.ZipFile(io.BytesIO(a))
+        zb = zipfile.ZipFile(io.BytesIO(b))
+        assert sorted(za.namelist()) == sorted(zb.namelist())
+        for n in za.namelist():
+            assert za.read(n) == zb.read(n)
