@@ -93,6 +93,8 @@ def measure_e2e_with_serialize(args, params, wave, log, n_songs=12, batch_songs=
         runner = CliRunner()
         cwd = os.getcwd()
 
+        timings: dict = {}
+
         def run(n, seed):
             outdir = tmp / f"out_{seed}"
             outdir.mkdir()
@@ -102,15 +104,26 @@ def measure_e2e_with_serialize(args, params, wave, log, n_songs=12, batch_songs=
             for _ in range(n):
                 argv += ["--audio-file", str(wav_path)]
             os.chdir(outdir)
+            os.environ["OSU_DREAMER_TIMING"] = "1"
             try:
                 t0 = time.time()
                 res = runner.invoke(predict_cmd, argv, catch_exceptions=False)
                 dt = time.time() - t0
             finally:
+                os.environ.pop("OSU_DREAMER_TIMING", None)
                 os.chdir(cwd)
             assert res.exit_code == 0, res.output[-2000:]
             oszs = list(outdir.glob("*.osz"))
             assert len(oszs) == n, f"expected {n} .osz, got {len(oszs)}"
+            # per-phase host attribution from the CLI's [timing] line
+            for line in res.output.splitlines():
+                if line.startswith("[timing]"):
+                    phases = {}
+                    for tok in line.split():
+                        if "=" in tok and tok.endswith("ms"):
+                            k, v = tok.split("=")
+                            phases[k] = float(v[:-2])
+                    timings[n] = phases
             return dt
 
         run(batch_songs, seed=7)  # warmup: compiles the CLI batch program
@@ -139,11 +152,22 @@ def measure_e2e_with_serialize(args, params, wave, log, n_songs=12, batch_songs=
                 "bound_by": None,
             }
         per_map = (dt - dt_small) / (n_songs - batch_songs)
+        # marginal per-phase attribution: difference the host-phase totals
+        # of the two run sizes the same way the wall-clock is differenced
+        attribution = None
+        if batch_songs in timings and n_songs in timings:
+            small, big = timings[batch_songs], timings[n_songs]
+            attribution = {
+                k: round((big.get(k, 0.0) - small.get(k, 0.0))
+                         / (n_songs - batch_songs), 1)
+                for k in sorted(set(small) | set(big))
+            }
         # binding side: compare against the device-only batched figure the
         # caller measured; if e2e/map is within 20% of device/map, the chip
         # binds and the host keeps up (the VERDICT r2 item-3 question)
         return {
             "ms_per_map": round(per_map * 1e3, 1),
+            "host_phase_ms_per_map": attribution,
             "maps_per_min": round(60.0 / per_map, 1),
             "total_ms_incl_invocation": round(dt * 1e3, 1),
             "invocation_fixed_ms": round(

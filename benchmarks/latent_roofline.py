@@ -1,0 +1,164 @@
+"""Per-kernel roofline for the latent train step (VERDICT r3 item 5).
+
+The latent step's wall-clock is dominated by the fused FiLM layer kernel
+(ops/film_layer.py) running at the four sequence lengths of the stride-3
+U-Net. For each (L, invocations-per-step) shape this script measures the
+kernel's forward and forward+backward wall-clock on the real chip and
+compares it against the two analytic floors:
+
+  flop floor  = matmul+elementwise FLOPs / bf16 peak (197 TFLOP/s on v5e)
+  byte floor  = HBM traffic (activations + per-program weight streams) /
+                HBM bandwidth (819 GB/s on v5e)
+
+Summing max(floors) x invocations gives the step's kernel-bound floor; the
+gap between that and the measured 61-64 ms step answers whether 0.199 MFU
+is structural (the narrow C=128 model meeting a 128x128 MXU) or headroom.
+
+Usage: python benchmarks/latent_roofline.py [--write]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from osu_dreamer_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache("/tmp/jax_cache_bench")
+
+import numpy as np
+
+# v5e peaks
+BF16_PEAK = 197e12
+HBM_BW = 819e9
+
+# latent reference config: h_dim 128, expand 4 -> H = 341, radius 2 -> K 5
+B, C, EXPAND, K = 32, 128, 4, 5
+H = int(C * EXPAND * 2 / 3)
+
+# (L, film-layer invocations per train step): 8-layer stacks — encoders
+# chart+audio at L=2052/684/228, decoder at 228/684/2052, style+temporal at 76
+SHAPES = [(2052, 24), (684, 24), (228, 24), (76, 16)]
+
+
+def analytic_floors(L: int, tile: int) -> tuple[float, float, float, float]:
+    """-> (fwd_flops, fwd_bytes, bwd_flops, bwd_bytes)"""
+    rows = B * L
+    mm_flops = 2 * rows * (C * 2 * H + H * C)        # vg + out matmuls
+    dw_flops = 2 * rows * C * K
+    elem = rows * (12 * C + 8 * H)                   # norms/film/gate/silu
+    fwd_flops = mm_flops + dw_flops + elem
+
+    programs = B * -(-L // tile)
+    weights = 2 * (K * C + 7 * C + C * 2 * H + 2 * H + H * C)
+    fwd_bytes = 2 * rows * C * 2 + programs * weights  # x in + out + weights
+
+    # backward: dgrads through both matmuls (2x fwd matmul flops) + dW
+    # accumulations (another 2x), saved-residual reads
+    bwd_flops = 4 * mm_flops + 2 * dw_flops + 2 * elem
+    bwd_bytes = 5 * rows * C * 2 + 2 * programs * weights
+    return fwd_flops, fwd_bytes, bwd_flops, bwd_bytes
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--write", action="store_true",
+                    help="write benchmarks/latent_roofline.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.ops.film_layer import DEFAULT_TILE, fused_film_layer
+
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+    key = jax.random.PRNGKey(0)
+
+    def timed(fn, *xs, iters):
+        out = fn(*xs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*xs)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    rows = []
+    total_fwd_floor = total_fwd_meas = 0.0
+    total_bwd_floor = total_bwd_meas = 0.0
+    for L, count in SHAPES:
+        ks = jax.random.split(key, 12)
+        x = jax.random.normal(ks[0], (B, L, C), jnp.bfloat16)
+        scale = jax.random.normal(ks[1], (B, C), jnp.bfloat16) * 0.1
+        shift = jax.random.normal(ks[2], (B, C), jnp.bfloat16) * 0.1
+        gate = jax.random.normal(ks[3], (B, C), jnp.bfloat16) * 0.1
+        g1 = jnp.ones((C,), jnp.float32)
+        g2 = jnp.full((C,), 1e-3, jnp.float32)
+        dww = jax.random.normal(ks[4], (K, C), jnp.float32) * 0.05
+        dwb = jnp.zeros((C,), jnp.float32)
+        wvg = jax.random.normal(ks[5], (C, 2 * H), jnp.float32) * 0.05
+        bvg = jnp.zeros((2 * H,), jnp.float32)
+        wout = jax.random.normal(ks[6], (H, C), jnp.float32) * 0.05
+        bout = jnp.zeros((C,), jnp.float32)
+        weights = (dww, dwb, wvg, bvg, wout, bout)
+
+        fwd = jax.jit(lambda x, s, sh, g: fused_film_layer(x, s, sh, g, g1, g2, *weights))
+        t_fwd = timed(fwd, x, scale, shift, gate, iters=args.iters)
+
+        grad = jax.jit(jax.grad(
+            lambda x, s, sh, g: fused_film_layer(
+                x, s, sh, g, g1, g2, *weights
+            ).astype(jnp.float32).sum(),
+            argnums=(0, 1, 2, 3),
+        ))
+        t_full = timed(grad, x, scale, shift, gate, iters=args.iters)
+        t_bwd = max(t_full - t_fwd, 1e-9)
+
+        ff, fb, bf_, bb = analytic_floors(L, DEFAULT_TILE)
+        fwd_floor = max(ff / BF16_PEAK, fb / HBM_BW)
+        bwd_floor = max(bf_ / BF16_PEAK, bb / HBM_BW)
+        rows.append({
+            "L": L, "count": count,
+            "fwd_us": round(t_fwd * 1e6, 1),
+            "fwd_floor_us": round(fwd_floor * 1e6, 1),
+            "fwd_vs_floor": round(t_fwd / fwd_floor, 2),
+            "fwd_gflops": round(ff / t_fwd / 1e9, 0),
+            "fwd_gbs": round(fb / t_fwd / 1e9, 0),
+            "bwd_us": round(t_bwd * 1e6, 1),
+            "bwd_floor_us": round(bwd_floor * 1e6, 1),
+            "bwd_vs_floor": round(t_bwd / bwd_floor, 2),
+        })
+        total_fwd_floor += fwd_floor * count
+        total_fwd_meas += t_fwd * count
+        total_bwd_floor += bwd_floor * count
+        total_bwd_meas += t_bwd * count
+        print(rows[-1], file=sys.stderr)
+
+    summary = {
+        "config": {"B": B, "C": C, "H": H, "K": K, "peaks": {
+            "bf16_tflops": BF16_PEAK / 1e12, "hbm_gbs": HBM_BW / 1e9}},
+        "per_shape": rows,
+        "step_film_floor_ms": round((total_fwd_floor + total_bwd_floor) * 1e3, 2),
+        "step_film_measured_ms": round((total_fwd_meas + total_bwd_meas) * 1e3, 2),
+        "note": (
+            "floor = per-kernel max(flop, byte) floor x invocations/step; "
+            "measured = standalone kernel wall x invocations. Compare with "
+            "the measured full latent step (trainstep_result.json) — the "
+            "difference outside the film kernels is stems/heads/optimizer."
+        ),
+    }
+    print(json.dumps(summary))
+    if args.write:
+        out = Path(__file__).parent / "latent_roofline.json"
+        out.write_text(json.dumps(summary, indent=1))
+        print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

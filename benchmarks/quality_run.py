@@ -449,18 +449,22 @@ def main() -> None:
             metrics.get("gen/gen_slider_frac", np.nan)
             - metrics.get("gen/true_slider_frac", np.nan)
         )
+        # thresholds calibrated to the round-4 scaled convergence run
+        # (benchmarks/convergence_r4/: 160 mapsets x 75 s, reference model
+        # sizes, 3 holdouts -> onset F1 0.927, sr_err 0.539, in-field 0.917,
+        # ioi_emd 88 ms, slider_dev 0.021) with slack for run-to-run variance
         checks = [
-            within("onset_f1", lo=0.85),
-            within("gen/sr_err", hi=0.75),
-            within("gen/pos_in_field_rate", lo=0.85),
+            within("onset_f1", lo=0.90),
+            within("gen/sr_err", hi=0.65),
+            within("gen/pos_in_field_rate", lo=0.88),
             within("gen/ar_err", hi=1.0),
-            within("gen/od_err", hi=1.0),
-            within("gen/cs_err", hi=1.0),
-            within("gen/hp_err", hi=1.0),
-            within("gen/ioi_emd_ms", hi=150.0),
+            within("gen/od_err", hi=0.8),
+            within("gen/cs_err", hi=0.25),
+            within("gen/hp_err", hi=0.25),
+            within("gen/ioi_emd_ms", hi=120.0),
             (f"slider_frac_dev={slider_dev:.3f}"
-             + ("" if slider_dev <= 0.12 else " FAIL"),
-             bool(slider_dev <= 0.12)),
+             + ("" if slider_dev <= 0.08 else " FAIL"),
+             bool(slider_dev <= 0.08)),
         ]
         failed = [msg for msg, ok in checks if not ok]
         verdict = {"gate": "FAIL" if failed else "PASS",

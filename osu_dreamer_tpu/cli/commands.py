@@ -338,13 +338,15 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         # the song axis must stay divisible by the data mesh)
         while len(rows) < batch_songs:
             rows.append(rows[-1])
-        waves = np.stack([r[4] for r in rows])
-        rfs = np.asarray([r[5] for r in rows], np.int32)
         if song_sharding is not None:
-            waves = jax.device_put(waves, song_sharding)
-            rfs = jax.device_put(rfs, song_sharding)
+            waves = jax.device_put(np.stack([np.asarray(r[4]) for r in rows]), song_sharding)
+            rfs = jax.device_put(np.asarray([r[5] for r in rows], np.int32), song_sharding)
         else:
-            waves, rfs = jnp.asarray(waves), jnp.asarray(rfs)
+            # single-device: each wave was device_put ASYNC at prep time
+            # (overlapping its transfer with the previous batch's host
+            # decode); stacking device arrays is a cheap on-device concat
+            waves = jnp.stack([r[4] for r in rows])
+            rfs = jnp.asarray([r[5] for r in rows], np.int32)
         hit_q, xy_q, pred_labels = sample(
             params, waves, rfs, labels, jax.random.PRNGKey(base_seed + batch_i),
             n_frames, out_frames, sample_steps, style_guidance,
@@ -380,6 +382,10 @@ def predict(model_path, audio_files, diff, sample_steps, style_guidance, title, 
         L = max(1, -(-len(wave) // HOP_LEN))
         with _phase("prep"):
             buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
+            if song_sharding is None:
+                # start the wave transfer NOW (async): it rides the link
+                # while the previous batch's .osu decode runs on the host
+                buf = jax.device_put(buf)
         entry = (audio_file, song_title, song_artist, L, buf, real_frames, n_frames, out_frames)
 
         # a bucket change or a full batch flushes the current one

@@ -27,6 +27,25 @@ _STATE_DIR = "state"
 _META_FILE = "meta.json"
 
 
+def _local_checkpointer() -> ocp.StandardCheckpointer:
+    """a StandardCheckpointer whose barrier covers ONLY this process.
+
+    Checkpoints here are host-local by design: the state is device_get to
+    host numpy before saving, and in multi-host runs only process 0 writes
+    (BestCheckpointKeeper write=is_writer). Orbax's default save/restore is
+    a COLLECTIVE with a global barrier — a single-writer save under
+    jax.distributed deadlocks the cluster (found by
+    tests/test_parallel.py::test_multihost_kill_resume_equality: process 0
+    hung in Checkpointer:save_start waiting for peers that never save)."""
+    me = jax.process_index()
+    opts = ocp.options.MultiprocessingOptions(
+        primary_host=me,
+        active_processes={me},
+        barrier_sync_key_prefix=f"proc{me}",
+    )
+    return ocp.StandardCheckpointer(multiprocessing_options=opts)
+
+
 @dataclass
 class LoadedCheckpoint:
     params: Any
@@ -58,7 +77,7 @@ def save_train_checkpoint(
     tmp.mkdir(parents=True)
 
     host_state = jax.tree.map(np.asarray, jax.device_get(state))
-    with ocp.StandardCheckpointer() as ckptr:
+    with _local_checkpointer() as ckptr:
         ckptr.save(tmp / _STATE_DIR, host_state)
 
     meta = {"hparams": hparams, "metric": metric, "step": int(state.step)}
@@ -122,7 +141,7 @@ def restore_train_state(path: str | Path, template: TrainState) -> TrainState:
     restored tree is renamed forward into the current model's paths."""
     path = Path(path).absolute()
     host_template = jax.device_get(template)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _local_checkpointer() as ckptr:
         target = jax.tree.map(ocp.utils.to_shape_dtype_struct, host_template)
         try:
             return ckptr.restore(path / _STATE_DIR, target)
@@ -149,7 +168,7 @@ def load_train_checkpoint(path: str | Path) -> LoadedCheckpoint:
     path = Path(path).absolute()
     meta = json.loads((path / _META_FILE).read_text())
 
-    with ocp.StandardCheckpointer() as ckptr:
+    with _local_checkpointer() as ckptr:
         raw = ckptr.restore(path / _STATE_DIR)
 
     return LoadedCheckpoint(
