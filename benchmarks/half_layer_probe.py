@@ -68,13 +68,14 @@ def main() -> None:
         return y @ w + b
 
     def _kernel(x_ref, scale_ref, shift_ref, w_ref, b_ref, o_ref):
+        # all operands kept rank-2 (Mosaic dislikes rank-1 vectors)
         xf = x_ref[0].astype(jnp.float32)  # (L, C)
         inv = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-6)
         y = ((xf * inv).astype(jnp.bfloat16)
-             * (1 + scale_ref[0]) + shift_ref[0])
+             * (1 + scale_ref[0]) + shift_ref[0])  # (L,C) * (1,C)
         o_ref[0] = (
             jnp.dot(y, w_ref[...], preferred_element_type=jnp.float32)
-            + b_ref[0].astype(jnp.float32)
+            + b_ref[...].astype(jnp.float32)
         ).astype(jnp.bfloat16)
 
     fused = pl.pallas_call(
@@ -82,8 +83,10 @@ def main() -> None:
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, L, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # film vectors as (B, 1, C): a (1, C) block on a (B, C) array
+            # violates Mosaic's trailing-dim tiling (second-minor 1 != 8)
+            pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, QKV), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QKV), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -106,7 +109,7 @@ def main() -> None:
         return (time.perf_counter() - t0) / iters
 
     jit_xla = jax.jit(xla_prologue)
-    jit_fused = jax.jit(lambda x, s, sh, w, b: fused(x, s, sh, w, b[None]))
+    jit_fused = jax.jit(lambda x, s, sh, w, b: fused(x, s[:, None], sh[:, None], w, b[None]))
 
     # correctness first
     ref = np.asarray(jit_xla(x, scale, shift, w, b), np.float32)
