@@ -108,8 +108,29 @@ def main() -> None:
         jax.block_until_ready(out)
         return (time.perf_counter() - t0) / iters
 
+    # differential timing: chain N dependent applications (the output feeds
+    # the next x via a cheap slice) inside one jit and take the slope between
+    # two chain lengths — cancels the ~1.5 ms tunneled-relay dispatch floor
+    # that a single-kernel timed loop at ~1 ms compute would otherwise
+    # measure (see benchmarks/latent_roofline.py)
+    N1, N2 = 4, 16
+
+    def chain(step, n):
+        def f(x, s, sh, w, b):
+            for _ in range(n):
+                out = step(x, s, sh, w, b)          # (B, L, QKV)
+                x = out[..., :C] + x                 # dependency, trivial cost
+            return x
+        return jax.jit(f)
+
+    def slope(step):
+        t1 = timed(chain(step, N1), x, scale, shift, w, b, iters=args.iters)
+        t2 = timed(chain(step, N2), x, scale, shift, w, b, iters=args.iters)
+        return max((t2 - t1) / (N2 - N1), 1e-9)
+
     jit_xla = jax.jit(xla_prologue)
-    jit_fused = jax.jit(lambda x, s, sh, w, b: fused(x, s[:, None], sh[:, None], w, b[None]))
+    fused_step = lambda x, s, sh, w, b: fused(x, s[:, None], sh[:, None], w, b[None])  # noqa: E731
+    jit_fused = jax.jit(fused_step)
 
     # correctness first
     ref = np.asarray(jit_xla(x, scale, shift, w, b), np.float32)
@@ -117,8 +138,8 @@ def main() -> None:
     err = float(np.max(np.abs(ref - got)) / max(np.max(np.abs(ref)), 1e-6))
     assert err < 5e-2, f"fused prologue diverges: rel err {err}"
 
-    t_xla = timed(jit_xla, x, scale, shift, w, b, iters=args.iters)
-    t_fused = timed(jit_fused, x, scale, shift, w, b, iters=args.iters)
+    t_xla = slope(xla_prologue)
+    t_fused = slope(fused_step)
 
     flops = 2 * B * L * C * QKV
     result = {

@@ -111,24 +111,39 @@ def main() -> None:
         bout = jnp.zeros((C,), jnp.float32)
         weights = (dww, dwb, wvg, bvg, wout, bout)
 
-        # chain UNROLL dependent applications inside ONE jitted program:
-        # a single kernel per dispatch measures the relay's per-dispatch
-        # overhead (~1.5 ms on the tunneled host), not the kernel
-        UNROLL = 8
+        # differential timing: chain N dependent applications inside ONE
+        # jitted program and take the slope between two chain lengths —
+        # (t(N2) - t(N1)) / (N2 - N1) cancels EVERY fixed cost (the ~1.5 ms
+        # tunneled-relay dispatch, donation copies, pad/cast prologues).
+        # A single fixed-UNROLL chain divided by UNROLL does NOT: at L<=228
+        # the whole chain's compute is below the dispatch cost, so the r4
+        # first-cut numbers for small L measured the link, not the kernel
+        # (fwd_us was ~flat at ~180 us across a 9x L change while the full
+        # grad added only 27 us — the dispatch floor's signature).
+        N1, N2 = 4, 20
 
-        def chain(x, s, sh, g):
-            for _ in range(UNROLL):
-                x = fused_film_layer(x, s, sh, g, g1, g2, *weights)
-            return x
+        def chain(n):
+            def f(x, s, sh, g):
+                for _ in range(n):
+                    x = fused_film_layer(x, s, sh, g, g1, g2, *weights)
+                return x
+            return f
 
-        fwd = jax.jit(chain)
-        t_fwd = timed(fwd, x, scale, shift, gate, iters=args.iters) / UNROLL
+        def slope(make, n1, n2):
+            t1 = timed(jax.jit(make(n1)), x, scale, shift, gate, iters=args.iters)
+            t2 = timed(jax.jit(make(n2)), x, scale, shift, gate, iters=args.iters)
+            return max((t2 - t1) / (n2 - n1), 1e-9)
 
-        grad = jax.jit(jax.grad(
-            lambda x, s, sh, g: chain(x, s, sh, g).astype(jnp.float32).sum(),
-            argnums=(0, 1, 2, 3),
-        ))
-        t_full = timed(grad, x, scale, shift, gate, iters=args.iters) / UNROLL
+        t_fwd = slope(chain, N1, N2)
+
+        def grad_chain(n):
+            g_fn = jax.grad(
+                lambda x, s, sh, g: chain(n)(x, s, sh, g).astype(jnp.float32).sum(),
+                argnums=(0, 1, 2, 3),
+            )
+            return g_fn
+
+        t_full = slope(grad_chain, N1, N2)
         t_bwd = max(t_full - t_fwd, 1e-9)
 
         ff, fb, bf_, bb = analytic_floors(L, DEFAULT_TILE)

@@ -107,19 +107,25 @@ class BackboneLayer(nn.Module):
 
         def film(name):
             ssg = nn.Dense(3 * self.dim, kernel_init=zeros_init, bias_init=zeros_init,
-                           dtype=self.dtype, name=name)(cond)[:, None, :]
-            return jnp.split(ssg, 3, axis=-1)
+                           dtype=self.dtype, name=name)(cond)
+            return jnp.split(ssg, 3, axis=-1)  # (B, C) each
 
         scale, shift, gate = film("film_attn")
-        h = rms_norm(x) * (1 + scale) + shift
+        # the attention module fuses the pre-norm + FiLM + audio inject into
+        # its qkv projection (ONE Pallas kernel on TPU; nn/attention.py)
         h = RoPEAttention(
             a.n_heads, a.head_dim, self.dim, self.dtype,
             seq_axis=a.seq_axis, name="attn",
-        )(h + nn.Dense(self.dim, dtype=self.dtype, name="audio_proj")(audio))
-        x = x + rms_norm(h) * gate
+        )(
+            x,
+            film=(scale, shift),
+            add=nn.Dense(self.dim, dtype=self.dtype, name="audio_proj")(audio),
+        )
+        x = x + rms_norm(h) * gate[:, None, :]
 
         scale, shift, gate = film("film_ffn")
-        h = rms_norm(x) * (1 + scale) + shift
+        gate = gate[:, None, :]
+        h = rms_norm(x) * (1 + scale[:, None, :]) + shift[:, None, :]
         h = SwiGLU(
             self.dim, a.expand, a.radius, a.dropout, self.dtype,
             seq_axis=a.seq_axis, name="ffn",

@@ -45,6 +45,33 @@ def _flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
     return fused_attention_fits(L, n_heads, head_dim)
 
 
+def _prologue_ok(C: int, F: int) -> bool:
+    """use the fused norm+FiLM+qkv prologue kernel (ops/film_qkv.py): TPU
+    backend, lane-aligned dims, fwd AND bwd footprints inside VMEM (a
+    fwd-only win must not be eaten by a slower fallback backward). Safe
+    under shard_map (the projection is position-local), gated off under
+    plain-jit GSPMD like every other kernel.
+
+    Default OFF pending a measured win: slope-timed (dispatch-floor-free)
+    the XLA chain runs the prologue at 0.88 MXU at the denoiser train shape
+    (benchmarks/half_layer_probe.json) — the kernel's per-batch-row matmuls
+    measure 0.80. OSU_DREAMER_FUSED_PROLOGUE=1 enables for A/B runs."""
+    import os
+
+    if os.environ.get("OSU_DREAMER_FUSED_PROLOGUE", "0") != "1":
+        return False
+    if not _pallas_attn_enabled():
+        return False
+    if C % 128 != 0 or F % 128 != 0:
+        return False
+    from osu_dreamer_tpu.ops.film_qkv import feasible_bwd_tile, feasible_fwd_tile
+
+    return (
+        feasible_fwd_tile(C, F) is not None
+        and feasible_bwd_tile(C, F) is not None
+    )
+
+
 def _long_flash_ok(L: int, n_heads: int, head_dim: int) -> bool:
     """use the long-sequence forward kernel (full-song inference lengths):
     beyond the fully-fused kernel's VMEM cap but inside the long kernel's"""
@@ -85,6 +112,26 @@ def _attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.nda
     return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
 
+class _DenseParams(nn.Module):
+    """declares an nn.Dense-compatible kernel/bias (same param paths, same
+    fp32 param dtype, same initializers) and returns them raw — so the qkv
+    projection can run either as a plain matmul or folded into the fused
+    prologue kernel without a checkpoint-breaking param rename"""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class RoPEAttention(nn.Module):
     """multi-head self-attention over (B, L, C) with RoPE and q/k norms.
 
@@ -101,11 +148,42 @@ class RoPEAttention(nn.Module):
     seq_axis: str | None = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        B, L, _ = x.shape
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        film: tuple[jnp.ndarray, jnp.ndarray] | None = None,
+        add: jnp.ndarray | None = None,
+    ) -> jnp.ndarray:
+        """``film=(scale, shift)`` (each (B, C)) folds the caller's pre-norm
+        FiLM into the qkv projection — on TPU the whole prologue
+        ``rms_norm(x)*(1+scale)+shift+add @ Wqkv`` runs as ONE Pallas kernel
+        (ops/film_qkv.py; measured 1.25x over the XLA chain at the denoiser
+        train shape, benchmarks/half_layer_probe.json). ``add`` is an extra
+        position-local stream injected after FiLM (the audio projection,
+        reference models/diffusion/backbone.py:64-70)."""
+        B, L, C_in = x.shape
         H, D = self.n_heads, self.head_dim
 
-        qkv = nn.Dense(3 * H * D, dtype=self.dtype, name="qkv")(x)
+        qkv_kernel, qkv_bias = _DenseParams(3 * H * D, name="qkv")(C_in)
+        wd = qkv_kernel.astype(self.dtype)
+        bd = qkv_bias.astype(self.dtype)
+        if film is None:
+            h = x.astype(self.dtype)
+            if add is not None:
+                h = h + add.astype(self.dtype)
+            qkv = h @ wd + bd
+        else:
+            scale, shift = film
+            zero = jnp.zeros((B, L, C_in), self.dtype)
+            a = zero if add is None else add.astype(self.dtype)
+            if _prologue_ok(C_in, 3 * H * D):
+                from osu_dreamer_tpu.ops.film_qkv import film_qkv
+
+                qkv = film_qkv(x.astype(self.dtype), scale, shift, a, wd, bd)
+            else:
+                h = rms_norm(x) * (1 + scale[:, None, :].astype(self.dtype))
+                h = h + shift[:, None, :].astype(self.dtype) + a
+                qkv = h.astype(self.dtype) @ wd + bd
 
         q_gamma = self.param("q_gamma", nn.initializers.ones, (D,), jnp.float32)
         k_gamma = self.param("k_gamma", nn.initializers.ones, (D,), jnp.float32)
