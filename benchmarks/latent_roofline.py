@@ -95,6 +95,7 @@ def main() -> None:
     rows = []
     total_fwd_floor = total_fwd_meas = 0.0
     total_bwd_floor = total_bwd_meas = 0.0
+    total_serial_floor = 0.0
     for L, count in SHAPES:
         ks = jax.random.split(key, 12)
         x = jax.random.normal(ks[0], (B, L, C), jnp.bfloat16)
@@ -111,22 +112,27 @@ def main() -> None:
         bout = jnp.zeros((C,), jnp.float32)
         weights = (dww, dwb, wvg, bvg, wout, bout)
 
-        # differential timing: chain N dependent applications inside ONE
-        # jitted program and take the slope between two chain lengths —
-        # (t(N2) - t(N1)) / (N2 - N1) cancels EVERY fixed cost (the ~1.5 ms
-        # tunneled-relay dispatch, donation copies, pad/cast prologues).
-        # A single fixed-UNROLL chain divided by UNROLL does NOT: at L<=228
-        # the whole chain's compute is below the dispatch cost, so the r4
-        # first-cut numbers for small L measured the link, not the kernel
-        # (fwd_us was ~flat at ~180 us across a 9x L change while the full
-        # grad added only 27 us — the dispatch floor's signature).
-        N1, N2 = 4, 20
+        # differential timing: chain N dependent applications (lax.scan —
+        # the carry is the layer input, weights are hoisted loop
+        # invariants) inside ONE jitted program and take the slope between
+        # two chain lengths — (t(N2) - t(N1)) / (N2 - N1) cancels EVERY
+        # fixed cost (the ~1.5 ms tunneled-relay dispatch, donation copies,
+        # pad/cast prologues). A fixed-UNROLL chain divided by UNROLL does
+        # NOT: at L<=228 the whole chain's compute sits below the dispatch
+        # cost and the loop measures the link (the r4 first-cut numbers'
+        # failure mode: fwd_us ~flat at ~180 us across a 9x L change).
+        # N2 is sized per shape so the EXTRA compute between the two chain
+        # lengths is >= ~4 ms — several dispatch floors of signal.
+        ff0, _, _, _ = analytic_floors(L, DEFAULT_TILE)
+        est_layer = ff0 / BF16_PEAK
+        N1 = 8
+        N2 = N1 + min(320, max(16, int(4e-3 / max(est_layer, 2e-5))))
 
         def chain(n):
             def f(x, s, sh, g):
-                for _ in range(n):
-                    x = fused_film_layer(x, s, sh, g, g1, g2, *weights)
-                return x
+                def body(c, _):
+                    return fused_film_layer(c, s, sh, g, g1, g2, *weights), None
+                return jax.lax.scan(body, x, None, length=n)[0]
             return f
 
         def slope(make, n1, n2):
@@ -152,21 +158,33 @@ def main() -> None:
         vpu_ops = B * L * (14 * C + 16 * H)
         fwd_floor = max(ff / BF16_PEAK, fb / HBM_BW, vpu_ops / VPU_PEAK)
         bwd_floor = max(bf_ / BF16_PEAK, bb / HBM_BW, 2 * vpu_ops / VPU_PEAK)
+        # the max() floor assumes perfect VPU/MXU/DMA overlap — but within a
+        # tile the layer's chain is DATA-DEPENDENT (norm -> vg matmul ->
+        # silu/gate -> norm -> out matmul -> norm), so VPU and MXU phases
+        # serialize; at C=128 the VPU chain costs about as much as the
+        # matmuls and the honest attainable bound is closer to their SUM
+        fwd_serial = ff / BF16_PEAK + vpu_ops / VPU_PEAK
+        bwd_serial = bf_ / BF16_PEAK + 2 * vpu_ops / VPU_PEAK
         rows.append({
             "L": L, "count": count,
             "fwd_us": round(t_fwd * 1e6, 1),
             "fwd_floor_us": round(fwd_floor * 1e6, 1),
             "fwd_vs_floor": round(t_fwd / fwd_floor, 2),
+            "fwd_serial_floor_us": round(fwd_serial * 1e6, 1),
+            "fwd_vs_serial": round(t_fwd / fwd_serial, 2),
             "fwd_gflops": round(ff / t_fwd / 1e9, 0),
             "fwd_gbs": round(fb / t_fwd / 1e9, 0),
             "bwd_us": round(t_bwd * 1e6, 1),
             "bwd_floor_us": round(bwd_floor * 1e6, 1),
             "bwd_vs_floor": round(t_bwd / bwd_floor, 2),
+            "bwd_serial_floor_us": round(bwd_serial * 1e6, 1),
+            "bwd_vs_serial": round(t_bwd / bwd_serial, 2),
         })
         total_fwd_floor += fwd_floor * count
         total_fwd_meas += t_fwd * count
         total_bwd_floor += bwd_floor * count
         total_bwd_meas += t_bwd * count
+        total_serial_floor += (fwd_serial + bwd_serial) * count
         print(rows[-1], file=sys.stderr)
 
     summary = {
@@ -174,12 +192,17 @@ def main() -> None:
             "bf16_tflops": BF16_PEAK / 1e12, "hbm_gbs": HBM_BW / 1e9}},
         "per_shape": rows,
         "step_film_floor_ms": round((total_fwd_floor + total_bwd_floor) * 1e3, 2),
+        "step_film_serial_floor_ms": round(total_serial_floor * 1e3, 2),
         "step_film_measured_ms": round((total_fwd_meas + total_bwd_meas) * 1e3, 2),
         "note": (
-            "floor = per-kernel max(flop, byte) floor x invocations/step; "
-            "measured = standalone kernel wall x invocations. Compare with "
-            "the measured full latent step (trainstep_result.json) — the "
-            "difference outside the film kernels is stems/heads/optimizer."
+            "floor = per-kernel max(flop, byte, vpu) floor x invocations/"
+            "step — an overlap-perfect bound; serial_floor = flop + vpu "
+            "SUMMED (the layer's chain is data-dependent, so VPU and MXU "
+            "phases cannot overlap within a tile) — the attainable bound "
+            "for this kernel structure. measured = slope-timed kernel wall "
+            "x invocations. Compare with the measured full latent step "
+            "(trainstep_result.json) — the difference outside the film "
+            "kernels is stems/heads/optimizer."
         ),
     }
     print(json.dumps(summary))
