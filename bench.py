@@ -3,9 +3,8 @@
 
 Pipeline timed: resonator spectrogram (featurizer) -> audio encode -> style
 sample (16 steps) -> diffusion sphere tracing (32 steps) -> chart decode.
-Host-side .osu serialization is excluded here (it is O(100ms) and measured
-separately in tests); weights are random — throughput is architecture-bound,
-not weight-bound.
+``e2e_with_serialize`` additionally drives the real predict CLI with host
+.osu serialization and .osz files landing on disk.
 
 ``vs_baseline``: MEASURED. The reference (jaswon/osu-dreamer) publishes no
 numbers and its CUDA stack cannot run here, but its torch models run on CPU:
@@ -17,42 +16,71 @@ cross-runtime comparison possible without a CUDA device); the JSON also
 carries the CPU-vs-CPU ratio from the same measurement for a same-silicon
 view. Re-run reference_baseline.py to refresh.
 
-Env knobs: BENCH_SWEEP=1 adds a --batch-songs throughput sweep (S=4/8/16;
-each S compiles its own program, so the sweep is opt-in to keep the
-driver-run bench bounded).
+Fault isolation (BENCH_r04 aborted on its first dispatch and produced no
+artifact at all — never again):
+
+- the XLA compile cache defaults to a FRESH per-run directory: a stale entry
+  compiled by a pre-edit binary can abort the first dispatch it deserializes
+  into. ``BENCH_CACHE_DIR`` pins a stable dir for local iteration.
+- params are initialized on a tiny spec (param shapes are length-independent)
+  and a SMOKE-sized song runs the full fused program family before the
+  2-minute compile, so a broken kernel path fails fast and cheap.
+- every phase after the headline runs under its own try/except; failures land
+  in ``phase_errors`` and the JSON line still prints with every field that
+  was measured.
+- a hard failure before the headline re-executes bench once in a fresh
+  process with a fresh cache (transient TPU/tunnel aborts get one more
+  chance); the terminal failure still prints a parseable JSON line.
+
+Env knobs: BENCH_SWEEP=1 adds a --batch-songs throughput sweep (S=4/8/16);
+BENCH_TRAIN=1 re-measures the train steps live; BENCH_SKIP_E2E=1 /
+BENCH_SKIP_AB=1 skip the heavy optional phases.
 """
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
-# enable the persistent compile cache even when a sitecustomize already
-# imported jax (env vars alone are snapshotted too early there)
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))) 
-                if "benchmarks" in os.path.dirname(os.path.abspath(__file__))
-                else os.path.dirname(os.path.abspath(__file__)))
+# enable the per-run compile cache even when a sitecustomize already imported
+# jax (env vars alone are snapshotted too early there)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from osu_dreamer_tpu.utils.compile_cache import enable_compile_cache
 
-enable_compile_cache("/tmp/jax_cache_bench")
+_cache_dir = os.environ.get("BENCH_CACHE_DIR") or tempfile.mkdtemp(
+    prefix="jax_cache_bench_"
+)
+enable_compile_cache(_cache_dir)
 
 import numpy as np
 
 SONG_SECONDS = 120
+SMOKE_SECONDS = 8
 NUM_STEPS = 32
 
 
 def load_measured_baseline() -> dict:
     """benchmarks/reference_baseline.json, written by reference_baseline.py"""
-    import json as _json
     from pathlib import Path
 
     p = Path(__file__).parent / "benchmarks" / "reference_baseline.json"
-    return _json.loads(p.read_text()) if p.exists() else {}
+    return json.loads(p.read_text()) if p.exists() else {}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def synth_wave(seconds: int, sr: int) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.arange(seconds * sr) / sr
+    return (
+        0.4 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 440 * t * (1 + 0.001 * np.sin(2 * np.pi * 0.5 * t)))
+        + 0.05 * rng.normal(size=t.shape)
+    ).astype(np.float32)
 
 
 def measure_e2e_with_serialize(args, params, wave, log, n_songs=12, batch_songs=4):
@@ -65,7 +93,6 @@ def measure_e2e_with_serialize(args, params, wave, log, n_songs=12, batch_songs=
     Returns ms/map, maps/min, and which side binds (device vs host tail).
     """
     import shutil
-    import tempfile
     import wave as wavemod
     from pathlib import Path
 
@@ -190,8 +217,8 @@ def main() -> None:
     import jax.numpy as jnp
 
     from osu_dreamer_tpu.audio import (
+        A_DIM,
         SR,
-        make_spec_for_model,
         prep_wave_for_model,
         spec_for_model_batch,
         spec_for_model_jax,
@@ -199,34 +226,34 @@ def main() -> None:
     from osu_dreamer_tpu.models.inference import LDM, LDMArgs
 
     log(f"devices: {jax.devices()}")
+    log(f"compile cache: {_cache_dir}")
 
-    # --- synthesize a 2-minute song ---
-    rng = np.random.default_rng(0)
-    t = np.arange(SONG_SECONDS * SR) / SR
-    wave = (
-        0.4 * np.sin(2 * np.pi * 220 * t)
-        + 0.2 * np.sin(2 * np.pi * 440 * t * (1 + 0.001 * np.sin(2 * np.pi * 0.5 * t)))
-        + 0.05 * rng.normal(size=t.shape)
-    ).astype(np.float32)
+    result: dict = {
+        "metric": "maps/min per chip (2-min song, 32 steps)",
+        "value": None,
+        "unit": "maps/min",
+        "vs_baseline": None,
+    }
+    errors: dict = {}
 
-    # --- featurize (timed separately below as part of each run) ---
+    # ---------------------------------------------------------- setup ----
+    wave = synth_wave(SONG_SECONDS, SR)
     args = LDMArgs()
     model = LDM(args)
     chunk = args.latent.chunk_size
 
-    def featurize(w):
-        # device-resident: one wave upload, no spec round trip
-        return make_spec_for_model(w, chunk)
-
-    spec = featurize(wave)
-    log(f"spec: {spec.shape}")
-
     labels = jnp.asarray([[5.0, 9.0, 8.0, 4.0, 6.0]], jnp.float32)
     key = jax.random.PRNGKey(0)
+
+    # init on a TINY spec: param shapes are length-independent (verified in
+    # tests/test_end_to_end.py::test_init_length_invariance), and jitted init
+    # on the full 2-min spec measured 43-80 s of pure compile on the
+    # tunneled backend — the single largest fixed cost of BENCH_r03/r04
     t0 = time.time()
-    params = jax.jit(lambda k: model.init(k, spec, labels, k, 1, 1))(key)
+    tiny_spec = jnp.zeros((1, chunk * 8, A_DIM), jnp.float32)
+    params = jax.jit(lambda k: model.init(k, tiny_spec, labels, k, 1, 1))(key)
     jax.block_until_ready(params)
-    log(f"init: {time.time() - t0:.1f}s")
+    log(f"init (tiny spec): {time.time() - t0:.1f}s")
 
     # featurizer + sampler fused into ONE device program (single dispatch per
     # song — the relay round trip is material), matching the predict CLI
@@ -235,6 +262,19 @@ def main() -> None:
         sp = spec_for_model_jax(wave_i16, real_frames, n_frames, out_frames)
         return model.apply(p, sp, lb, k, NUM_STEPS)
 
+    # ---------------------------------------------------------- smoke ----
+    # a smoke-sized song through the FULL fused program family first: if a
+    # kernel path is broken (or a cache entry is poisoned), this fails in
+    # seconds instead of after the 2-minute-song compile
+    t0 = time.time()
+    sbuf, s_rf, s_nf, s_of = prep_wave_for_model(synth_wave(SMOKE_SECONDS, SR), chunk)
+    s_chart, _ = sample_wave(
+        params, jnp.asarray(sbuf), s_rf, s_nf, s_of, labels, key
+    )
+    float(s_chart[0, 0, 0])
+    log(f"smoke ({SMOKE_SECONDS}s song): {time.time() - t0:.1f}s")
+
+    # ------------------------------------------------------- headline ----
     buf, real_frames, n_frames, out_frames = prep_wave_for_model(wave, chunk)
 
     def run_song(k):
@@ -249,6 +289,7 @@ def main() -> None:
     float(chart[0, 0, 0])
     compile_s = time.time() - t0
     log(f"compile+first run: {compile_s:.1f}s; chart {chart.shape}")
+    result["compile_s"] = round(compile_s, 1)
 
     # steady-state warmup (the first few dispatches through the host link
     # run slow while buffers/relay warm up)
@@ -267,6 +308,33 @@ def main() -> None:
     maps_per_min = 60.0 / per_map
     log(f"per-map: {times} -> median {per_map:.3f}s = {maps_per_min:.1f} maps/min")
 
+    baseline = load_measured_baseline()
+    ref_cpu = baseline.get("reference_cpu", {}).get("maps_per_min")
+    result.update(
+        value=round(maps_per_min, 2),
+        vs_baseline=round(maps_per_min / ref_cpu, 2) if ref_cpu else None,
+        baseline_measured=bool(ref_cpu),
+        baseline={
+            "reference_cpu_maps_per_min": round(ref_cpu, 3) if ref_cpu else None,
+            "cpu_vs_cpu": baseline.get("cpu_vs_cpu"),
+            "methodology": baseline.get("methodology"),
+        },
+    )
+
+    # every phase below is optional: a failure must cost exactly its own
+    # field, never the artifact (BENCH_r04 lesson)
+    from contextlib import contextmanager
+
+    @contextmanager
+    def phase(name):
+        t0 = time.time()
+        try:
+            yield
+            log(f"[phase {name}] ok ({time.time() - t0:.1f}s)")
+        except Exception as exc:
+            errors[name] = repr(exc)[:500]
+            log(f"[phase {name}] FAILED after {time.time() - t0:.1f}s: {exc!r}")
+
     # --- serial-latency attribution: how much of the serial figure is the
     # HOST LINK (wave upload + dispatch round trip) vs the chip itself.
     # Under the tunneled bench backend the link dominates; on a production
@@ -281,196 +349,33 @@ def main() -> None:
             ds.append((time.time() - t0) * 1e3)
         return float(np.median(ds))
 
-    import jax as _jax
-
-    upload_ms = _median_ms(
-        lambda i: _jax.block_until_ready(_jax.device_put(buf))
-    )
-    nop = jax.jit(lambda x: x + 1.0)
-    _z = jnp.zeros(())
-    float(nop(_z))
-    rtt_ms = _median_ms(lambda i: float(nop(_z)))
-    dbuf = _jax.device_put(jnp.asarray(buf))
-    _jax.block_until_ready(dbuf)
-
-    def _resident_run(i):
-        c, _ = sample_wave(
-            params, dbuf, real_frames, n_frames, out_frames, labels,
-            jax.random.PRNGKey(700 + i),
+    with phase("serial_attribution"):
+        upload_ms = _median_ms(
+            lambda i: jax.block_until_ready(jax.device_put(buf))
         )
-        float(c[0, 0, 0])
+        nop = jax.jit(lambda x: x + 1.0)
+        _z = jnp.zeros(())
+        float(nop(_z))
+        rtt_ms = _median_ms(lambda i: float(nop(_z)))
+        dbuf = jax.device_put(jnp.asarray(buf))
+        jax.block_until_ready(dbuf)
 
-    _resident_run(0)  # same program (wave arg already device-resident)
-    resident_ms = _median_ms(_resident_run)
-    log(
-        f"serial attribution: wave upload {upload_ms:.1f} ms + dispatch RTT "
-        f"{rtt_ms:.1f} ms (host link) | device-resident serial "
-        f"{resident_ms:.1f} ms = {60000 / resident_ms:.0f} maps/min "
-        f"(~{max(resident_ms - rtt_ms, 0.0):.0f} ms chip compute)"
-    )
-
-    # secondary metrics (stderr only; the driver consumes the single JSON line)
-    h_shape = (1, spec.shape[1] // args.latent.chunk_size, args.diffusion.a_dim)
-    h = jnp.zeros(h_shape, jnp.float32)
-    s = jnp.zeros((1, args.diffusion.style_dim), jnp.float32)
-
-
-    diff_sample = jax.jit(
-        lambda p, h, s, k: model.apply(
-            p, h, s, k, NUM_STEPS,
-            method=lambda m, h, s, k, n: m.diffusion.sample(h, s, k, n),
-        )
-    )
-    z = diff_sample(params, h, s, key)
-    float(z[0, 0, 0])
-    t0 = time.time()
-    for i in range(5):
-        z = diff_sample(params, h, s, jax.random.PRNGKey(i))
-        float(z[0, 0, 0])
-    dt = (time.time() - t0) / 5
-    log(f"denoiser: {NUM_STEPS + 1} net passes in {dt * 1000:.1f} ms = "
-        f"{(NUM_STEPS + 1) / dt:.0f} steps/sec at l={h_shape[1]}")
-    log(f"E2E predict latency (sans host serialize): {per_map * 1000:.0f} ms")
-
-    # bulk-generation throughput: dispatch song k+1 before fetching song k,
-    # so host->device uploads overlap device compute (BASELINE config 5)
-    N_BULK = 8
-    t0 = time.time()
-    pending = None
-    for i in range(N_BULK):
-        out = run_song(jax.random.PRNGKey(200 + i))
-        # index NOW: the tiny gather enqueues directly behind song i's
-        # program. Indexing at fetch time would queue it behind song i+1's
-        # program too (in-order execution), serializing the pipeline.
-        probe = out[0][0, 0, 0]
-        if pending is not None:
-            float(pending)  # previous song done; overlaps current compute
-        pending = probe
-    float(pending)
-    bulk_dt = (time.time() - t0) / N_BULK
-    log(f"bulk generation: {bulk_dt * 1000:.0f} ms/map = {60 / bulk_dt:.0f} maps/min sustained")
-
-    # batched bulk: S songs per device program (predict --batch-songs), the
-    # deepest pipelining the chip offers for mass generation
-    S = 4
-    waves_b = jnp.asarray(np.stack([buf] * S))
-    rfs_b = jnp.asarray(np.asarray([real_frames] * S, np.int32))
-
-    @partial(jax.jit, static_argnames=("n_frames", "out_frames", "steps"))
-    def sample_batch(p, waves, rfs, n_frames, out_frames, lb, k, steps=NUM_STEPS):
-        sp = spec_for_model_batch(waves, rfs, n_frames, out_frames)
-        return model.apply(p, sp, lb, k, steps)
-
-    def run_batch(k):
-        return sample_batch(params, waves_b, rfs_b, n_frames, out_frames, labels, k)
-
-    out = run_batch(jax.random.PRNGKey(300))  # compile
-    float(out[0][0, 0, 0])
-    t0 = time.time()
-    pending = None
-    for i in range(4):
-        out = run_batch(jax.random.PRNGKey(301 + i))
-        probe = out[0][0, 0, 0]
-        if pending is not None:
-            float(pending)
-        pending = probe
-    float(pending)
-    bdt = (time.time() - t0) / (4 * S)
-    log(f"batched bulk (S={S}): {bdt * 1000:.0f} ms/map = {60 / bdt:.0f} maps/min sustained")
-
-    bulk_curve = {str(S): round(bdt * 1000, 1)}
-    if os.environ.get("BENCH_SWEEP", "0") == "1":
-        # the reference's own predict default is 8 diffusion steps
-        # (scripts/predict.py:25); quality holds there (ROADMAP: F1 0.95) and
-        # throughput is ~3.4x the 32-step headline config. Same jitted
-        # program family as sample_batch — `steps` is a static arg.
-        def sample_batch8(p, waves, rfs, n_frames, out_frames, lb, k):
-            return sample_batch(p, waves, rfs, n_frames, out_frames, lb, k, steps=8)
-
-        out = sample_batch8(
-            params, waves_b, rfs_b, n_frames, out_frames, labels,
-            jax.random.PRNGKey(500),
-        )
-        float(out[0][0, 0, 0])
-        t0 = time.time()
-        pending = None
-        for i in range(4):
-            out = sample_batch8(
-                params, waves_b, rfs_b, n_frames, out_frames, labels,
-                jax.random.PRNGKey(501 + i),
+        def _resident_run(i):
+            c, _ = sample_wave(
+                params, dbuf, real_frames, n_frames, out_frames, labels,
+                jax.random.PRNGKey(700 + i),
             )
-            probe = out[0][0, 0, 0]
-            if pending is not None:
-                float(pending)
-            pending = probe
-        float(pending)
-        ms8 = (time.time() - t0) / (4 * S) * 1000
-        log(f"batched bulk (S={S}, 8 steps): {ms8:.0f} ms/map = "
-            f"{60000 / ms8:.0f} maps/min sustained")
-        bulk_curve["4@8steps"] = round(ms8, 1)
+            float(c[0, 0, 0])
 
-        for S2 in (8, 16):
-            waves_s = jnp.asarray(np.stack([buf] * S2))
-            rfs_s = jnp.asarray(np.asarray([real_frames] * S2, np.int32))
-
-            def run_s(k):
-                return sample_batch(params, waves_s, rfs_s, n_frames, out_frames, labels, k)
-
-            out = run_s(jax.random.PRNGKey(400))  # compile this S
-            float(out[0][0, 0, 0])
-            t0 = time.time()
-            pending = None
-            for i in range(3):
-                out = run_s(jax.random.PRNGKey(401 + i))
-                probe = out[0][0, 0, 0]
-                if pending is not None:
-                    float(pending)
-                pending = probe
-            float(pending)
-            ms = (time.time() - t0) / (3 * S2) * 1000
-            bulk_curve[str(S2)] = round(ms, 1)
-            log(f"batched bulk (S={S2}): {ms:.0f} ms/map = {60000 / ms:.0f} maps/min sustained")
-
-    # --- true end-to-end throughput INCLUDING host .osu serialization ---
-    # (VERDICT r2 item 3). Drives the real predict CLI in bulk mode against
-    # an artifact exported from this process's params: device sampling
-    # overlapped with the serialize-worker pool, .osz files landing on disk.
-    e2e = None
-    try:
-        e2e = measure_e2e_with_serialize(args, params, wave, log)
-        device_ms = bdt * 1000
-        e2e["device_only_ms_per_map"] = round(device_ms, 1)
-        if e2e["ms_per_map"] is None:
-            log(f"e2e with serialize: INVALID sample ({e2e['note']})")
-        else:
-            e2e["bound_by"] = (
-                "device (host keeps up)" if e2e["ms_per_map"] <= device_ms * 1.2
-                else "host serialize/dispatch tail"
-            )
-            log(f"e2e with serialize: {e2e['ms_per_map']} ms/map = "
-                f"{e2e['maps_per_min']} maps/min sustained through .osz on disk "
-                f"({e2e['n_maps']} maps, serialize-workers {e2e['workers']}, "
-                f"binding side: {e2e['bound_by']})")
-    except Exception as exc:  # the headline must survive an e2e failure
-        log(f"e2e-with-serialize skipped: {exc!r}")
-
-    baseline = load_measured_baseline()
-    ref_cpu = baseline.get("reference_cpu", {}).get("maps_per_min")
-    result = {
-        "metric": "maps/min per chip (2-min song, 32 steps)",
-        "value": round(maps_per_min, 2),
-        "unit": "maps/min",
-        "vs_baseline": round(maps_per_min / ref_cpu, 2) if ref_cpu else None,
-        "baseline_measured": bool(ref_cpu),
-        "baseline": {
-            "reference_cpu_maps_per_min": round(ref_cpu, 3) if ref_cpu else None,
-            "cpu_vs_cpu": baseline.get("cpu_vs_cpu"),
-            "methodology": baseline.get("methodology"),
-        },
-        "compile_s": round(compile_s, 1),
-        "bulk_ms_per_map": round(bulk_dt * 1000, 1),
-        "batched_bulk_ms_per_map": bulk_curve,
-        "serial_attribution": {
+        _resident_run(0)  # same program (wave arg already device-resident)
+        resident_ms = _median_ms(_resident_run)
+        log(
+            f"serial attribution: wave upload {upload_ms:.1f} ms + dispatch RTT "
+            f"{rtt_ms:.1f} ms (host link) | device-resident serial "
+            f"{resident_ms:.1f} ms = {60000 / resident_ms:.0f} maps/min "
+            f"(~{max(resident_ms - rtt_ms, 0.0):.0f} ms chip compute)"
+        )
+        result["serial_attribution"] = {
             "wave_upload_ms": round(upload_ms, 1),
             "dispatch_rtt_ms": round(rtt_ms, 1),
             "device_resident_serial_ms": round(resident_ms, 1),
@@ -479,17 +384,207 @@ def main() -> None:
                     "tunneled host link; device_resident excludes the wave "
                     "upload (the exact analog of the reference-CPU "
                     "methodology, which starts from an in-memory spec)",
-        },
-    }
-    if e2e is not None:
-        result["e2e_with_serialize"] = e2e
+        }
+
+    # secondary metrics (denoiser steps/sec at the full-song latent length)
+    h_shape = (1, out_frames // chunk, args.diffusion.a_dim)
+    diff_sample = None
+    with phase("denoiser_sample"):
+        h = jnp.zeros(h_shape, jnp.float32)
+        s = jnp.zeros((1, args.diffusion.style_dim), jnp.float32)
+
+        def _mk_diff_sample():
+            return jax.jit(
+                lambda p, h, s, k: model.apply(
+                    p, h, s, k, NUM_STEPS,
+                    method=lambda m, h, s, k, n: m.diffusion.sample(h, s, k, n),
+                )
+            )
+
+        diff_sample = _mk_diff_sample()
+        z = diff_sample(params, h, s, key)
+        float(z[0, 0, 0])
+        pallas_ms = _median_ms(
+            lambda i: float(diff_sample(params, h, s, jax.random.PRNGKey(i))[0, 0, 0])
+        )
+        log(f"denoiser: {NUM_STEPS + 1} net passes in {pallas_ms:.1f} ms = "
+            f"{(NUM_STEPS + 1) / (pallas_ms / 1e3):.0f} steps/sec at l={h_shape[1]}")
+        result["denoiser_sample_ms"] = round(pallas_ms, 1)
+        result["denoiser_steps_per_sec"] = round((NUM_STEPS + 1) / (pallas_ms / 1e3))
+
+    # attention kernel A/B at the INFERENCE shape (VERDICT r4 item 8: the
+    # 2.2x full-step win was measured at the train shape B128xL152; justify
+    # the kernel default at the sampler shape B1xL~760 too). Same jitted
+    # sampler family, second trace with OSU_DREAMER_XLA_ATTN=1 (the dispatch
+    # gate reads the env at trace time).
+    if os.environ.get("BENCH_SKIP_AB", "0") != "1" and diff_sample is not None:
+        with phase("attention_ab_inference"):
+            os.environ["OSU_DREAMER_XLA_ATTN"] = "1"
+            try:
+                diff_sample_xla = _mk_diff_sample()
+                z = diff_sample_xla(params, h, s, key)
+                float(z[0, 0, 0])
+                xla_ms = _median_ms(
+                    lambda i: float(
+                        diff_sample_xla(params, h, s, jax.random.PRNGKey(i))[0, 0, 0]
+                    )
+                )
+            finally:
+                os.environ.pop("OSU_DREAMER_XLA_ATTN", None)
+            result["attention_ab"] = {
+                "inference_shape": {
+                    "B": 1, "L": h_shape[1], "steps": NUM_STEPS,
+                    "pallas_default_ms": round(pallas_ms, 1),
+                    "xla_attn_ms": round(xla_ms, 1),
+                    "winner": "pallas" if pallas_ms <= xla_ms else "xla",
+                },
+                "train_shape": {
+                    "B": 128, "L": 152,
+                    "pallas_default_ms_per_step": 60.0,
+                    "xla_attn_ms_per_step": 132.3,
+                    "winner": "pallas",
+                    "source": "committed full-step A/B (round 4, "
+                              "benchmarks/trainstep_bench.py on v5e)",
+                },
+            }
+            log(f"attention A/B at inference shape (L={h_shape[1]}): "
+                f"pallas {pallas_ms:.1f} ms vs xla {xla_ms:.1f} ms -> "
+                f"{result['attention_ab']['inference_shape']['winner']}")
+
+    # bulk-generation throughput: dispatch song k+1 before fetching song k,
+    # so host->device uploads overlap device compute (BASELINE config 5)
+    with phase("bulk"):
+        N_BULK = 8
+        t0 = time.time()
+        pending = None
+        for i in range(N_BULK):
+            out = run_song(jax.random.PRNGKey(200 + i))
+            # index NOW: the tiny gather enqueues directly behind song i's
+            # program. Indexing at fetch time would queue it behind song i+1's
+            # program too (in-order execution), serializing the pipeline.
+            probe = out[0][0, 0, 0]
+            if pending is not None:
+                float(pending)  # previous song done; overlaps current compute
+            pending = probe
+        float(pending)
+        bulk_dt = (time.time() - t0) / N_BULK
+        log(f"bulk generation: {bulk_dt * 1000:.0f} ms/map = {60 / bulk_dt:.0f} maps/min sustained")
+        result["bulk_ms_per_map"] = round(bulk_dt * 1000, 1)
+
+    # batched bulk: S songs per device program (predict --batch-songs), the
+    # deepest pipelining the chip offers for mass generation
+    bdt = None
+    with phase("batched_bulk"):
+        S = 4
+        waves_b = jnp.asarray(np.stack([buf] * S))
+        rfs_b = jnp.asarray(np.asarray([real_frames] * S, np.int32))
+
+        @partial(jax.jit, static_argnames=("n_frames", "out_frames", "steps"))
+        def sample_batch(p, waves, rfs, n_frames, out_frames, lb, k, steps=NUM_STEPS):
+            sp = spec_for_model_batch(waves, rfs, n_frames, out_frames)
+            return model.apply(p, sp, lb, k, steps)
+
+        def run_batch(k):
+            return sample_batch(params, waves_b, rfs_b, n_frames, out_frames, labels, k)
+
+        out = run_batch(jax.random.PRNGKey(300))  # compile
+        float(out[0][0, 0, 0])
+        t0 = time.time()
+        pending = None
+        for i in range(4):
+            out = run_batch(jax.random.PRNGKey(301 + i))
+            probe = out[0][0, 0, 0]
+            if pending is not None:
+                float(pending)
+            pending = probe
+        float(pending)
+        bdt = (time.time() - t0) / (4 * S)
+        log(f"batched bulk (S={S}): {bdt * 1000:.0f} ms/map = {60 / bdt:.0f} maps/min sustained")
+
+        bulk_curve = {str(S): round(bdt * 1000, 1)}
+        if os.environ.get("BENCH_SWEEP", "0") == "1":
+            # the reference's own predict default is 8 diffusion steps
+            # (scripts/predict.py:25); quality holds there (ROADMAP: F1 0.95)
+            # and throughput is ~3.4x the 32-step headline config. Same jitted
+            # program family as sample_batch — `steps` is a static arg.
+            def sample_batch8(p, waves, rfs, n_frames, out_frames, lb, k):
+                return sample_batch(p, waves, rfs, n_frames, out_frames, lb, k, steps=8)
+
+            out = sample_batch8(
+                params, waves_b, rfs_b, n_frames, out_frames, labels,
+                jax.random.PRNGKey(500),
+            )
+            float(out[0][0, 0, 0])
+            t0 = time.time()
+            pending = None
+            for i in range(4):
+                out = sample_batch8(
+                    params, waves_b, rfs_b, n_frames, out_frames, labels,
+                    jax.random.PRNGKey(501 + i),
+                )
+                probe = out[0][0, 0, 0]
+                if pending is not None:
+                    float(pending)
+                pending = probe
+            float(pending)
+            ms8 = (time.time() - t0) / (4 * S) * 1000
+            log(f"batched bulk (S={S}, 8 steps): {ms8:.0f} ms/map = "
+                f"{60000 / ms8:.0f} maps/min sustained")
+            bulk_curve["4@8steps"] = round(ms8, 1)
+
+            for S2 in (8, 16):
+                waves_s = jnp.asarray(np.stack([buf] * S2))
+                rfs_s = jnp.asarray(np.asarray([real_frames] * S2, np.int32))
+
+                def run_s(k):
+                    return sample_batch(params, waves_s, rfs_s, n_frames, out_frames, labels, k)
+
+                out = run_s(jax.random.PRNGKey(400))  # compile this S
+                float(out[0][0, 0, 0])
+                t0 = time.time()
+                pending = None
+                for i in range(3):
+                    out = run_s(jax.random.PRNGKey(401 + i))
+                    probe = out[0][0, 0, 0]
+                    if pending is not None:
+                        float(pending)
+                    pending = probe
+                float(pending)
+                ms = (time.time() - t0) / (3 * S2) * 1000
+                bulk_curve[str(S2)] = round(ms, 1)
+                log(f"batched bulk (S={S2}): {ms:.0f} ms/map = {60000 / ms:.0f} maps/min sustained")
+        result["batched_bulk_ms_per_map"] = bulk_curve
+
+    # --- true end-to-end throughput INCLUDING host .osu serialization ---
+    # (VERDICT r2 item 3). Drives the real predict CLI in bulk mode against
+    # an artifact exported from this process's params: device sampling
+    # overlapped with the serialize-worker pool, .osz files landing on disk.
+    if os.environ.get("BENCH_SKIP_E2E", "0") != "1":
+        with phase("e2e_with_serialize"):
+            e2e = measure_e2e_with_serialize(args, params, wave, log)
+            if bdt is not None:
+                device_ms = bdt * 1000
+                e2e["device_only_ms_per_map"] = round(device_ms, 1)
+                if e2e["ms_per_map"] is not None:
+                    e2e["bound_by"] = (
+                        "device (host keeps up)" if e2e["ms_per_map"] <= device_ms * 1.2
+                        else "host serialize/dispatch tail"
+                    )
+            if e2e["ms_per_map"] is None:
+                log(f"e2e with serialize: INVALID sample ({e2e['note']})")
+            else:
+                log(f"e2e with serialize: {e2e['ms_per_map']} ms/map = "
+                    f"{e2e['maps_per_min']} maps/min sustained through .osz on disk "
+                    f"({e2e['n_maps']} maps, serialize-workers {e2e['workers']}, "
+                    f"binding side: {e2e['bound_by']})")
+            result["e2e_with_serialize"] = e2e
 
     # training-side metric: denoiser step time + MFU at the reference config
     # (VERDICT r1: "nothing in BENCH reports MFU"). Live measurement costs a
     # second large compile, so by default the committed measurement from
     # benchmarks/trainstep_bench.py is reported (with its provenance);
     # BENCH_TRAIN=1 re-measures in-process.
-    try:
+    with phase("train_step"):
         if os.environ.get("BENCH_TRAIN", "0") == "1":
             sys.path.insert(0, os.path.join(os.path.dirname(__file__), "benchmarks"))
             from trainstep_bench import measure_train_step
@@ -515,11 +610,36 @@ def main() -> None:
                 result[f"{stage}_train_mfu"] = ts[stage]["mfu"]
                 log(f"{stage} train step: {ts[stage]['ms_per_step']} ms, "
                     f"MFU {ts[stage]['mfu']}")
-    except Exception as e:  # the headline metric must survive a train-bench failure
-        log(f"train-step measurement skipped: {e}")
 
+    if errors:
+        result["phase_errors"] = errors
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        if os.environ.get("BENCH_RETRIED") != "1":
+            # one retry in a fresh process with a fresh compile cache:
+            # transient TPU/tunnel aborts and poisoned cache entries both
+            # die with the process
+            log("bench: hard failure before the artifact — retrying once in "
+                "a fresh process with a fresh compile cache")
+            env = dict(os.environ, BENCH_RETRIED="1")
+            env.pop("BENCH_CACHE_DIR", None)
+            sys.exit(subprocess.call(
+                [sys.executable, os.path.abspath(__file__)], env=env
+            ))
+        # terminal: still print a parseable artifact line
+        print(json.dumps({
+            "metric": "maps/min per chip (2-min song, 32 steps)",
+            "value": None,
+            "unit": "maps/min",
+            "vs_baseline": None,
+            "error": repr(exc)[:500],
+        }))
+        sys.exit(1)

@@ -155,12 +155,14 @@ class RoPEAttention(nn.Module):
         add: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         """``film=(scale, shift)`` (each (B, C)) folds the caller's pre-norm
-        FiLM into the qkv projection — on TPU the whole prologue
-        ``rms_norm(x)*(1+scale)+shift+add @ Wqkv`` runs as ONE Pallas kernel
-        (ops/film_qkv.py; measured 1.25x over the XLA chain at the denoiser
-        train shape, benchmarks/half_layer_probe.json). ``add`` is an extra
-        position-local stream injected after FiLM (the audio projection,
-        reference models/diffusion/backbone.py:64-70)."""
+        FiLM into the qkv projection. A fused Pallas prologue kernel exists
+        (ops/film_qkv.py) but is env-gated OFF by default: slope timing at
+        the denoiser train shape shows the XLA chain faster (0.88 vs 0.80
+        MXU, benchmarks/half_layer_probe.json) — set
+        ``OSU_DREAMER_FUSED_PROLOGUE=1`` for A/B runs or shapes where the
+        kernel may win. ``add`` is an extra position-local stream injected
+        after FiLM (the audio projection, reference
+        models/diffusion/backbone.py:64-70)."""
         B, L, C_in = x.shape
         H, D = self.n_heads, self.head_dim
 
@@ -174,15 +176,22 @@ class RoPEAttention(nn.Module):
             qkv = h @ wd + bd
         else:
             scale, shift = film
-            zero = jnp.zeros((B, L, C_in), self.dtype)
-            a = zero if add is None else add.astype(self.dtype)
             if _prologue_ok(C_in, 3 * H * D):
                 from osu_dreamer_tpu.ops.film_qkv import film_qkv
 
+                # the kernel takes a real `add` operand; only the fused path
+                # materializes zeros when the caller passes none (a pallas
+                # operand cannot be DCE'd — keep it off the XLA path)
+                a = (
+                    jnp.zeros((B, L, C_in), self.dtype)
+                    if add is None else add.astype(self.dtype)
+                )
                 qkv = film_qkv(x.astype(self.dtype), scale, shift, a, wd, bd)
             else:
                 h = rms_norm(x) * (1 + scale[:, None, :].astype(self.dtype))
-                h = h + shift[:, None, :].astype(self.dtype) + a
+                h = h + shift[:, None, :].astype(self.dtype)
+                if add is not None:
+                    h = h + add.astype(self.dtype)
                 qkv = h.astype(self.dtype) @ wd + bd
 
         q_gamma = self.param("q_gamma", nn.initializers.ones, (D,), jnp.float32)

@@ -7,12 +7,8 @@ models/diffusion/backbone.py:52-70) is, per position:
     qkv = y @ W + b                                   # packed projection
 
 Under XLA this is a fused elementwise chain plus a full-batch matmul — one
-extra HBM round trip of the (B, L, C) activation between them, and the
-norm/FiLM chain drags the combined sequence to ~0.235 MXU even though the
-bare matmul runs at 0.75+ (measured: benchmarks/half_layer_probe.py,
-1324 µs XLA vs 1057 µs fused at the denoiser train shape B128 L152
-C512->3072, MXU 0.235 -> 0.294). These kernels run the whole prologue per
-L-tile out of VMEM:
+extra HBM round trip of the (B, L, C) activation between them. These
+kernels run the whole prologue per L-tile out of VMEM:
 
 - forward: one (B, L, C) read (+ the add stream) + one (B, L, F) write;
 - backward: flash-style — recompute y per tile, emit dx/dadd directly and
@@ -20,9 +16,16 @@ L-tile out of VMEM:
   sequential TPU grid. No forward residuals are saved beyond the inputs.
 
 Semantics are validated against ``film_qkv_reference`` (the exact jnp
-composition BackboneLayer otherwise runs) in tests/test_ops.py;
-nn/attention.py RoPEAttention auto-dispatches here on TPU backends when the
-caller passes FiLM vectors and the footprint fits VMEM.
+composition BackboneLayer otherwise runs) in tests/test_ops.py.
+
+Dispatch is OPT-IN: nn/attention.py routes here only when
+``OSU_DREAMER_FUSED_PROLOGUE=1`` is set (and the footprint fits VMEM).
+Slope-timed measurement at the denoiser train shape (B128 L152 C512->3072,
+benchmarks/half_layer_probe.json) shows the XLA chain FASTER than this
+kernel once dispatch overhead is excluded (0.88 vs 0.80 effective MXU) —
+XLA already fuses the elementwise prologue into the matmul well at that
+shape. The kernel stays available for A/B runs and shapes where the fusion
+may win.
 """
 
 from __future__ import annotations

@@ -281,3 +281,28 @@ def _write_wav(path, data: np.ndarray):
     from osu_dreamer_tpu.data.synth import write_wav
 
     write_wav(Path(path), data)
+
+
+@pytest.mark.slow
+def test_init_length_invariance():
+    """LDM param shapes do not depend on the spec length: bench.py and the
+    CLI initialize on a tiny spec and apply to full songs (the 2-min-spec
+    jitted init measured 43-80 s of pure compile on the bench backend)."""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.audio import A_DIM
+    from osu_dreamer_tpu.models.inference import LDM, LDMArgs
+
+    args = LDMArgs()
+    model = LDM(args)
+    chunk = args.latent.chunk_size
+    labels = jnp.zeros((1, 5), jnp.float32)
+    key = jax.random.PRNGKey(0)
+
+    shapes = []
+    for n_chunks in (8, 40):
+        spec = jnp.zeros((1, chunk * n_chunks, A_DIM), jnp.float32)
+        tree = jax.eval_shape(lambda k: model.init(k, spec, labels, k, 1, 1), key)
+        shapes.append(jax.tree.map(lambda a: (a.shape, str(a.dtype)), tree))
+    assert shapes[0] == shapes[1]

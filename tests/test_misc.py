@@ -16,6 +16,7 @@ class TestPlot:
             assert len(fig.axes) >= 3
 
 
+@pytest.mark.slow
 class TestSamplingDeterminism:
     def test_same_seed_same_chart(self):
         """the full composed pipeline is a pure function of (params, rng)"""

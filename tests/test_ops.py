@@ -46,6 +46,7 @@ class TestFusedSwiGLU:
         got = fused_swiglu(x, *p.values(), 64, True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.slow
     def test_gradients_match_reference(self):
         p = make_params()
         x = jax.random.normal(KEY, (1, 24, 16))
@@ -61,6 +62,7 @@ class TestFusedSwiGLU:
         for a, b in zip(g_fused, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
+    @pytest.mark.slow
     def test_backward_kernel_all_grads(self):
         """the flash-style backward kernel (ops/swiglu.py _bwd_kernel):
         dx and EVERY weight/bias grad vs autodiff of the reference, over
@@ -87,6 +89,7 @@ class TestFusedSwiGLU:
                     err_msg=f"{name} at B{B} L{L} C{C} K{K}",
                 )
 
+    @pytest.mark.slow
     def test_partial_backward_kernel_all_grads(self):
         """the partial backward (ops/swiglu.py _partial_bwd_kernel — engaged
         when the full weight-grad accumulators don't fit VMEM, e.g. the
@@ -114,6 +117,7 @@ class TestFusedSwiGLU:
                     err_msg=f"{name} at B{B} L{L} C{C} H{H} K{K}",
                 )
 
+    @pytest.mark.slow
     def test_partial_backward_via_grad_dispatch(self):
         """jax.grad through fused_swiglu at dims where only the partial
         backward is feasible routes through it and matches the reference"""
@@ -161,6 +165,7 @@ class TestFusedFilmLayer:
             jax.random.normal(ks[11], (C,)) * 0.1,
         ), jax.random.normal(ks[12], (B, L, C))
 
+    @pytest.mark.slow
     def test_forward_matches_reference(self):
         from osu_dreamer_tpu.ops.film_layer import (
             _fused_film_layer_fwd_impl,
@@ -176,6 +181,7 @@ class TestFusedFilmLayer:
                 err_msg=f"B{B} L{L} C{C}",
             )
 
+    @pytest.mark.slow
     def test_backward_all_grads(self):
         from osu_dreamer_tpu.ops.film_layer import (
             _fused_film_layer_bwd_impl,
@@ -195,6 +201,7 @@ class TestFusedFilmLayer:
                     err_msg=f"{name} B{B} L{L} C{C}",
                 )
 
+    @pytest.mark.slow
     def test_filmstack_fused_path_agrees(self):
         """FilmStack(fused=True) through the interpreted kernel equals the
         unfused module path, conditioned AND unconditioned, same param
@@ -259,6 +266,7 @@ class TestFilmQKV:
             jax.random.normal(ks[5], (F,)) * 0.1,
         ), jax.random.normal(ks[6], (B, L, F))
 
+    @pytest.mark.slow
     def test_forward_matches_reference(self):
         from osu_dreamer_tpu.ops.film_qkv import _fwd_impl, film_qkv_reference
 
@@ -272,6 +280,7 @@ class TestFilmQKV:
                 err_msg=f"B{B} L{L} C{C} F{F}",
             )
 
+    @pytest.mark.slow
     def test_backward_all_grads(self):
         from osu_dreamer_tpu.ops.film_qkv import film_qkv, film_qkv_reference
 
@@ -310,6 +319,7 @@ class TestFilmQKV:
         ref = mod.apply(params, h)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
 
+    @pytest.mark.slow
     def test_attention_fused_prologue_agrees(self, monkeypatch):
         """the fused kernel path through RoPEAttention (interpret mode)
         equals the XLA fallback on the same params"""
@@ -433,6 +443,7 @@ class TestFusedNormRopeAttention:
         return qkv, qg, kg
 
     @pytest.mark.parametrize("B,L,H,D", [(2, 152, 4, 64), (1, 130, 2, 32)])
+    @pytest.mark.slow
     def test_matches_reference(self, B, L, H, D):
         from osu_dreamer_tpu.ops import (
             fused_norm_rope_attention,
@@ -460,6 +471,7 @@ class TestFusedNormRopeAttention:
         got = np.asarray(fused_norm_rope_attention(qkv, qg, kg, 2, True), np.float32)
         np.testing.assert_allclose(got, ref, atol=2e-2)
 
+    @pytest.mark.slow
     def test_gradients(self):
         """custom-VJP backward kernel (d_qkv + both gamma grads) vs autodiff
         through the reference composition"""
@@ -484,6 +496,7 @@ class TestFusedNormRopeAttention:
                 rtol=2e-2, atol=2e-2,
             )
 
+    @pytest.mark.slow
     def test_module_dispatch(self, monkeypatch):
         """RoPEAttention routed through the kernel equals its XLA path"""
         from jax.experimental.pallas import tpu as pltpu
@@ -539,6 +552,7 @@ class TestLongFlashAttention:
         got = np.asarray(long_flash_attention(q, k, v, True), np.float32)
         np.testing.assert_allclose(got, ref, atol=2e-2)
 
+    @pytest.mark.slow
     def test_gradients(self):
         """custom-VJP backward (XLA composition fallback) vs autodiff
         through the reference — correctness under jax.grad is still required
@@ -577,6 +591,7 @@ class TestLongFlashAttention:
         assert not long_attention_fits(MAX_LONG_LEN + 1, 16, 64)
         assert not long_attention_fits(744, 1, 96)  # HD % 128 != 0
 
+    @pytest.mark.slow
     def test_blocked_matches_resident(self):
         """the k-blocked online-softmax variant (marathon songs) equals the
         k/v-resident kernel and the XLA reference, including a ragged tail
@@ -597,6 +612,7 @@ class TestLongFlashAttention:
             got_resident = np.asarray(_fwd_impl(q, k, v, True), np.float32)
             np.testing.assert_allclose(got_blocked, got_resident, atol=2e-2)
 
+    @pytest.mark.slow
     def test_blocked_dispatch_beyond_resident_cap(self):
         """L=4096 (beyond the resident VMEM cap, VERDICT r2 item 4): the
         public entry dispatches to the blocked kernel and matches XLA.

@@ -37,6 +37,7 @@ class TestConfig:
 
 
 class TestCheckpoint:
+    @pytest.mark.slow
     def test_save_restore_roundtrip(self, tmp_path):
         import optax
 
@@ -305,6 +306,7 @@ class TestFitLoop:
         meta = json.loads((tmp_path / "run" / "best" / "meta.json").read_text())
         assert meta["metric"] == pytest.approx(1.0 / 14)
 
+    @pytest.mark.slow
     def test_trace_epoch_writes_profile(self, tmp_path):
         """fit.trace_epoch captures a device trace into <run_dir>/trace"""
         import optax

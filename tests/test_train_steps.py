@@ -49,6 +49,7 @@ TINY_DIFFUSION = DiffusionModelArgs(
 TINY_STYLE = StyleModelArgs(style_dim=8, label_features=16, h_dim=16, depth=2, expand=2)
 
 
+@pytest.mark.slow
 class TestLatentStep:
     def test_step_runs_and_learns(self):
         seq_len = 2 * TINY_LATENT.chunk_size * 2  # two halves, chunk-aligned
@@ -80,6 +81,7 @@ class TestLatentStep:
         assert int(state.step) == 6
 
 
+@pytest.mark.slow
 class TestDiffusionStep:
     def test_step_runs_and_learns(self):
         model, state, step = init_diffusion_training(
@@ -120,6 +122,7 @@ class TestDiffusionStep:
         assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 class TestStyleStep:
     def test_step_runs_and_overfits(self):
         model, state, step = init_style_training(TINY_STYLE, StyleTrainArgs(), KEY)
@@ -177,6 +180,7 @@ class TestStyleStep:
         assert not np.allclose(guided, base)
 
 
+@pytest.mark.slow
 class TestLDMSongBatching:
     def test_batched_songs_song_major_and_no_cross_talk(self):
         """S>1 batches songs through one program: output rows are song-major
