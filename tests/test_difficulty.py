@@ -231,18 +231,34 @@ def test_sub50ms_gaps_decay_by_raw_delta():
 class TestRealisticFixtures:
     """frozen hand-designed .osu fixtures (tests/fixtures/) with expected
     official-scale star bands — pins the SR calibration tighter than the
-    synthetic archetypes (VERDICT r3 item 10). Patterns: a sparse 90 BPM
-    1/1 Easy, a 180 BPM 1/2-jump + 1/4-triple Insane, a 200 BPM
+    synthetic archetypes (VERDICT r3 item 10; widened to 6 maps spanning
+    ~1-7 stars in round 5). Patterns: a sparse 90 BPM 1/1 Easy; a format-v7
+    112 BPM Normal with NO ApproachRate line (the old-style AR←OD parser
+    path); a CS 6.5 tiny-circle 160 BPM Hard; a 180 BPM 1/2-jump +
+    1/4-triple Insane; a 200 BPM stream/jump-alternating Expert; a 200 BPM
     cross-screen-jump + 9-note-stream Extra. Bands are generous enough to
     absorb classic-model drift but tight enough that a scale regression
-    (e.g. a broken strain decay or distance weight) trips them."""
+    (e.g. a broken strain decay or distance weight) trips them; ordering
+    across all six is asserted strictly."""
 
     FIXTURES = {
         # name -> (lo, hi) expected star band
         "gentle-easy.osu": (0.6, 2.0),
+        "oldstyle-normal.osu": (1.0, 2.6),
+        "highcs-hard.osu": (3.0, 4.8),
         "standard-insane.osu": (3.8, 5.8),
+        "stream-expert.osu": (5.0, 6.8),
         "jump-extra.osu": (5.8, 8.2),
     }
+
+    ORDER = [
+        "gentle-easy.osu",
+        "oldstyle-normal.osu",
+        "highcs-hard.osu",
+        "standard-insane.osu",
+        "stream-expert.osu",
+        "jump-extra.osu",
+    ]
 
     def _sr(self, name):
         from pathlib import Path
@@ -257,12 +273,17 @@ class TestRealisticFixtures:
         assert lo <= sr <= hi, f"{name}: SR {sr:.2f} outside [{lo}, {hi}]"
 
     def test_ordering(self):
-        srs = {n: self._sr(n) for n in self.FIXTURES}
-        assert (
-            srs["gentle-easy.osu"]
-            < srs["standard-insane.osu"]
-            < srs["jump-extra.osu"]
-        )
+        srs = [self._sr(n) for n in self.ORDER]
+        assert all(a < b for a, b in zip(srs, srs[1:])), dict(zip(self.ORDER, srs))
+
+    def test_oldstyle_ar_falls_back_to_od(self):
+        from pathlib import Path
+
+        p = Path(__file__).parent / "fixtures" / "oldstyle-normal.osu"
+        text = p.read_text()
+        assert "ApproachRate" not in text
+        bm = Beatmap(text)
+        assert bm.ar == bm.od == 5.0
 
     def test_native_matches_python_on_fixtures(self):
         from pathlib import Path
