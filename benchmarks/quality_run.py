@@ -242,6 +242,19 @@ def main() -> None:
         "predict (0 = off): quantifies snapping's effect on onset F1",
     )
     ap.add_argument(
+        "--style-guidance", type=float, default=2.0,
+        help="classifier-free guidance over the style prior for the gated "
+        "holdout predictions (VERDICT r4 item 4: sharpen label adherence); "
+        "1.0 = the reference's plain conditional sampling",
+    )
+    ap.add_argument(
+        "--guidance-sweep", default="1.0,1.5,3.0",
+        help="comma-separated extra style-guidance values to ALSO score on "
+        "the holdouts (label-adherence metrics only, reported as sweep<g>/* "
+        "— evidence for the chosen --style-guidance, never gated). Empty "
+        "string disables the sweep",
+    )
+    ap.add_argument(
         "--gate", action="store_true",
         help="regression gate (VERDICT r2 item 6): after scoring, check the "
         "quality metrics against thresholds calibrated to the round-2 "
@@ -386,20 +399,20 @@ def main() -> None:
     gen_scores: list[dict] = []
     gen_dir = out / "generated"
     gen_dir.mkdir(exist_ok=True)
+    sweep_gs = [
+        float(tok) for tok in args.guidance_sweep.split(",") if tok.strip()
+    ]
+    sweep_scores: dict[float, list[dict]] = {g: [] for g in sweep_gs
+                                             if g != args.style_guidance}
 
-    for k in range(args.holdout_songs):
-        texts, wave, true_onsets = make_mapset(
-            rng, seconds=args.seconds,
-            tempo_change=args.tempo_change_holdouts,
-        )
-        wav = gen_dir / f"holdout{k}.wav"
-        write_wav(wav, wave)
+    def predict_and_score(wav, k, guidance, true_text, true_onsets):
         cwd = os.getcwd()
         os.chdir(gen_dir)
         try:
             cli("predict", "--model-path", str(artifact), "--audio-file", str(wav),
                 "--diff", *(str(v) for v in REQUESTED),
                 "--sample-steps", str(args.sample_steps), "--seed", str(k),
+                "--style-guidance", str(guidance),
                 "--infer-tempo", "--snap-divisor", str(args.snap_divisor))
         finally:
             os.chdir(cwd)
@@ -409,7 +422,18 @@ def main() -> None:
             gen_text = z.read(osu_name).decode()
         pred = hit_times_from_osu(gen_text)
         p, r, f1 = onset_match(pred, true_onsets)
-        score = score_generated(gen_text, texts[0], REQUESTED)
+        return score_generated(gen_text, true_text, REQUESTED), (p, r, f1), pred
+
+    for k in range(args.holdout_songs):
+        texts, wave, true_onsets = make_mapset(
+            rng, seconds=args.seconds,
+            tempo_change=args.tempo_change_holdouts,
+        )
+        wav = gen_dir / f"holdout{k}.wav"
+        write_wav(wav, wave)
+        score, (p, r, f1), pred = predict_and_score(
+            wav, k, args.style_guidance, texts[0], true_onsets
+        )
         gen_scores.append(score)
         print(
             f"[quality] holdout {k}: {len(pred)} generated vs "
@@ -421,6 +445,11 @@ def main() -> None:
             file=sys.stderr,
         )
         precs.append(p); recs.append(r); f1s.append(f1)
+        # label-adherence evidence at the other guidance scales (same
+        # artifact, same song, same seed — only the guidance varies)
+        for g in sweep_scores:
+            s_g, _, _ = predict_and_score(wav, k, g, texts[0], true_onsets)
+            sweep_scores[g].append(s_g)
 
     metrics.update(
         onset_precision=float(np.mean(precs)),
@@ -433,6 +462,12 @@ def main() -> None:
         f"gen/{k}": float(np.mean([s[k] for s in gen_scores if k in s]))
         for k in keys
     })
+    metrics["style_guidance"] = args.style_guidance
+    for g, scores in sweep_scores.items():
+        for k in ("ar_err", "od_err", "cs_err", "hp_err", "sr_err"):
+            vals = [s[k] for s in scores if k in s]
+            if vals:
+                metrics[f"sweep{g:g}/{k}"] = float(np.mean(vals))
     print(json.dumps(metrics))
 
     if args.gate:

@@ -164,6 +164,70 @@ def measure_style_step(
     }
 
 
+def measure_style_floor(batch: int = 512, peak: float = 197e12) -> dict:
+    """settle the style step's floor (VERDICT r4 item 6): slope-time the
+    train step by chaining it inside one jitted lax.scan at two chain
+    lengths — the difference quotient cancels every fixed cost (host
+    dispatch through the tunneled relay is ~1.5 ms, a third of the naive
+    4.58 ms/step figure) — and compare against the flop floor and the
+    compiled program's fusion count x a ~2 us/launch device overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from osu_dreamer_tpu.models.style.model import StyleModelArgs
+    from osu_dreamer_tpu.models.style.train import (
+        StyleTrainArgs,
+        init_style_training,
+    )
+
+    key = jax.random.PRNGKey(0)
+    args = StyleModelArgs()
+    _, state, train_step = init_style_training(args, StyleTrainArgs(), key)
+    k1, k2 = jax.random.split(key)
+    s = jax.device_put(jax.random.normal(k1, (batch, args.style_dim)))
+    labels = jax.device_put(jax.random.uniform(k2, (batch, 5)) * 8)
+
+    def chain(n):
+        def run(state, s, labels):
+            def body(st, _):
+                st, _aux = train_step(st, s, labels)
+                return st, None
+            st, _ = jax.lax.scan(body, state, None, length=n)
+            return st
+        return jax.jit(run).lower(state, s, labels).compile()
+
+    def timed(compiled, iters=30):
+        st = compiled(state, s, labels)
+        jax.block_until_ready(st.params)
+        t0 = time.time()
+        for _ in range(iters):
+            st = compiled(state, s, labels)
+        jax.block_until_ready(st.params)
+        return (time.time() - t0) / iters
+
+    n1, n2 = 4, 20
+    c1, c2 = chain(n1), chain(n2)
+    t1, t2 = timed(c1), timed(c2)
+    per_step = (t2 - t1) / (n2 - n1)
+    cost = c2.cost_analysis() or {}
+    flops_per_step = float(cost.get("flops", 0.0)) / n2
+    # single-step compiled program: count its fusions as the op-count proxy
+    single = train_step.lower(state, s, labels).compile()
+    hlo = single.as_text()
+    n_fusions = hlo.count(" fusion(") + hlo.count(" fusion.")
+    return {
+        "slope_us_per_step": round(per_step * 1e6, 1),
+        "naive_ms_per_step": None,  # see measure_style_step
+        "flop_floor_us": round(flops_per_step / peak * 1e6, 2),
+        "flops_per_step_g": round(flops_per_step / 1e9, 3),
+        "hlo_fusion_count": n_fusions,
+        "note": (
+            "slope-timed over lax.scan chains of 4 and 20 steps (difference "
+            "quotient cancels dispatch + any fixed per-program cost)"
+        ),
+    }
+
+
 def write_all_stages(path: str, steps: int = 10, peak: float = 197e12) -> dict:
     """measure all three stage train steps at their reference configs and
     write benchmarks/trainstep_result.json (consumed by bench.py)"""

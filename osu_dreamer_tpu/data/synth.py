@@ -22,7 +22,7 @@ from osu_dreamer_tpu.audio import SR
 
 # difficulties per generated mapset (consumers sizing batches per map count
 # should use this rather than re-deriving it)
-DIFFS_PER_MAPSET = 2
+DIFFS_PER_MAPSET = 3
 
 
 def _osu_text(
@@ -198,10 +198,16 @@ def make_mapset(
                 version=f"v{d}",
                 audio_name="audio.wav",
                 timing=[(first_beat, sec_bpm) for _s, first_beat, sec_bpm in sections],
-                ar=float(np.clip(9.5 - 1.2 * d, 0, 10)),
-                cs=4.0,
-                od=float(np.clip(8.0 - d, 0, 10)),
-                hp=5.0,
+                # continuous label spread (VERDICT r4 item 4): the r4 corpus
+                # pinned cs/hp and made ar/od deterministic in the diff
+                # index — a two-point label manifold the style prior could
+                # only learn mushily (holdout ar_err 0.875 requesting an
+                # in-distribution ar). Jittered ar/od + random cs/hp give the
+                # prior a real continuous conditional to learn.
+                ar=float(np.clip(9.5 - 1.2 * d + rng.uniform(-1.2, 1.2), 2, 10)),
+                cs=float(rng.uniform(2.5, 5.5)),
+                od=float(np.clip(8.0 - d + rng.uniform(-1.2, 1.2), 1, 10)),
+                hp=float(rng.uniform(3.0, 7.0)),
                 slider_mult=1.4,
             )
         )
@@ -290,7 +296,12 @@ def build_library(
     for i in range(n_mapsets):
         d = songs_dir / f"{i:03d} synth"
         d.mkdir(exist_ok=True)
-        texts, wave, ons = make_mapset(rng, seconds=seconds)
+        # a quarter of the corpus is variable-BPM so segmented tempo
+        # inference and the timing channel see real tempo changes in
+        # TRAINING, not only in the holdout eval
+        texts, wave, ons = make_mapset(
+            rng, seconds=seconds, tempo_change=(i % 4 == 3)
+        )
         write_wav(d / "audio.wav", wave)
         for j, text in enumerate(texts):
             (d / f"map{i}_{j}.osu").write_text(text)

@@ -11,6 +11,7 @@ projection is a Dense over the lane dimension (an MXU matmul).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -24,8 +25,6 @@ zeros_init = nn.initializers.zeros
 def _pallas_swiglu_default() -> bool:
     """auto policy: use the fused Pallas kernel on TPU backends unless
     ODT_FUSED_SWIGLU overrides (0/1)"""
-    import os
-
     override = os.environ.get("ODT_FUSED_SWIGLU")
     if override is not None:
         return override not in ("0", "false", "")
@@ -243,6 +242,16 @@ class FilmStack(nn.Module):
 
         B, L, C = x.shape
         if C % 128 != 0 or B * -(-L // 512) < 8:
+            return False
+        # shape-cutoff escape hatch, default OFF (= fused at every feasible
+        # shape). The standalone slope-timed A/B (benchmarks/film_ab.json)
+        # suggested XLA wins fwd+bwd at L<=684, but the REAL latent train
+        # step says otherwise (v5e, r5): all-fused 63.9 ms/step vs 65.1 with
+        # ODT_FILM_FUSED_MIN_L=1024 (small layers on norm-XLA + SwiGLU
+        # kernel) vs 78.8 pure-XLA small layers — the probe's checkpointed
+        # scan does not reproduce the full step's fusion/memory behavior.
+        min_l = int(os.environ.get("ODT_FILM_FUSED_MIN_L", "0"))
+        if train and L < min_l:
             return False
         h_dim = int(self.dim * self.expand * 2 / 3)
         return (

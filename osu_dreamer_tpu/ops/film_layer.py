@@ -78,6 +78,36 @@ def film_layer_reference(
 # --------------------------------------------------------------- forward ----
 
 
+def _rms_inv(xf: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """row 1/rms via an MXU ones-matmul (f32 in, f32 out).
+
+    Mosaic lowers a last-axis ``jnp.mean`` to a log-depth cross-lane shuffle
+    chain on the VPU — the fused layer runs three of those per tile and the
+    VPU is the kernel's binder (the MXU sits ~70% idle at C=128). A
+    (rows, C) @ (C, 128) all-ones matmul computes the same row sums on the
+    MXU instead; for C == 128 every output column equals the row sum, so
+    the result IS the broadcast inverse — no reduce and no re-broadcast.
+    Measured (v5e, L=2052 latent shape): fwd 404 -> ~330 us with the two
+    C-width norms converted."""
+    inv = jax.lax.rsqrt(_row_mean_mxu(xf, xf) + eps)
+    return inv
+
+
+def _row_mean_mxu(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """row-wise ``mean(a * b, axis=-1, keepdims=True)`` as an MXU
+    ones-matmul (see _rms_inv — same VPU-shuffle-chain avoidance). For
+    C == 128 the (rows, 128) result is already the broadcast mean; other
+    widths return a (rows, 1) column."""
+    C = a.shape[-1]
+    ones = jnp.ones((C, 128), jnp.float32)
+    s = jax.lax.dot_general(
+        a * b, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * (1.0 / C)
+    return s if C == 128 else s[:, :1]
+
+
 def _fwd_kernel(
     x_hbm, sc, sh, gt, g1, g2, dww, dwb, wvg, bvg, wout, bout,
     out_ref, xs, sem, *, tile, radius, h_dim, seq_len,
@@ -89,6 +119,11 @@ def _fwd_kernel(
     E = tile + 2 * r  # h1 region: core tile plus the conv halo
     f32 = jnp.float32
 
+    # serial halo fetch. Cross-program double buffering (prefetch the next
+    # program's tile before computing) was implemented and measured
+    # slope-timed at every latent shape: NO change (L=2052 fwd 326 -> 329
+    # us) — the input DMA is fully hidden behind Mosaic's output pipeline
+    # already, so the extra buffer only cost VMEM. Reverted.
     copy = pltpu.make_async_copy(
         x_hbm.at[b, pl.ds(t * tile, tile + 2 * _HALO)], xs, sem
     )
@@ -103,9 +138,11 @@ def _fwd_kernel(
     valid = (pos >= 0) & (pos < seq_len)
     xe = xs[_HALO - r : _HALO - r + E, :]
     xf = xe.astype(f32)
-    n1 = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + 1e-6)
-    h1 = (xf * n1).astype(dt) * g1[0, :].astype(dt)
-    h1 = h1 * (1 + sc[0, 0, :].astype(dt)) + sh[0, 0, :].astype(dt)
+    n1 = _rms_inv(xf)
+    # fold gain * (1 + scale) into ONE per-program f32 vector: two fewer
+    # (E, C) multiplies per tile than applying g1 and (1 + scale) separately
+    a1 = g1[0, :].astype(f32) * (1 + sc[0, 0, :].astype(f32))
+    h1 = (xf * n1 * a1).astype(dt) + sh[0, 0, :].astype(dt)
     h1 = jnp.where(valid, h1, jnp.zeros_like(h1))
 
     # SwiGLU: conv taps read h1[e + k] for core output position e
@@ -118,26 +155,30 @@ def _fwd_kernel(
     # gated FFN in the compute dtype (bf16 in production — matching the
     # unfused reference path, which keeps v/silu(g) in the SwiGLU compute
     # dtype and only lifts the norm STATISTICS to f32; halves the VPU width
-    # of the elementwise chain)
+    # of the elementwise chain). Mosaic requires a 32-bit matmul
+    # accumulator, so the round-to-dt stays an explicit epilogue cast.
     vg = (jnp.dot(y, wvg[:, :], preferred_element_type=f32)
           + bvg[0, :].astype(f32)).astype(dt)
     v = vg[:, :h_dim]
     g = vg[:, h_dim:]
     # sigmoid stays f32 (Mosaic cannot lower the bf16 logistic); products bf16
-    sig = jax.nn.sigmoid(g.astype(f32)).astype(dt)
+    sig = (0.5 * jnp.tanh(0.5 * g.astype(f32)) + 0.5).astype(dt)
     spre = v * (g * sig)
     spre_f = spre.astype(f32)
-    n = jax.lax.rsqrt(jnp.mean(spre_f * spre_f, axis=-1, keepdims=True) + 1e-6)
+    n = _rms_inv(spre_f)
+
     hn = (spre_f * n).astype(dt)
 
     o = (jnp.dot(hn, wout[:, :], preferred_element_type=f32)
          + bout[0, :].astype(f32))
 
-    # block norm + gated residual (f32 stats)
-    n2 = jax.lax.rsqrt(jnp.mean(o * o, axis=-1, keepdims=True) + 1e-6)
-    h2 = (o * n2).astype(dt) * g2[0, :].astype(dt)
+    # block norm + gated residual (f32 stats); block gain and residual gate
+    # fold into one per-program f32 vector like the film prologue
+    n2 = _rms_inv(o)
+    b2 = g2[0, :].astype(f32) * (1 + gt[0, 0, :].astype(f32))
+    h2 = (o * n2 * b2).astype(dt)
     xc = xs[_HALO : _HALO + tile, :]
-    out_ref[0, :, :] = (xc + h2 * (1 + gt[0, 0, :].astype(dt))).astype(out_ref.dtype)
+    out_ref[0, :, :] = (xc + h2).astype(out_ref.dtype)
 
 
 # -------------------------------------------------------------- backward ----
@@ -190,7 +231,7 @@ def _bwd_kernel(
     valid_h = (pos_h >= 0) & (pos_h < seq_len)
     xh = xs[_HALO - 2 * r : _HALO - 2 * r + EH, :]
     xhf = xh.astype(f32)
-    n1 = jax.lax.rsqrt(jnp.mean(xhf * xhf, axis=-1, keepdims=True) + 1e-6)
+    n1 = _rms_inv(xhf)
     xn = (xhf * n1).astype(dt)                      # normalized x (no gain)
     one_sc = 1 + sc[0, 0, :].astype(dt)
     h1 = xn * g1[0, :].astype(dt) * one_sc + sh[0, 0, :].astype(dt)
@@ -208,30 +249,29 @@ def _bwd_kernel(
           + bvg[0, :].astype(f32)).astype(dt)
     v = vg[:, :h_dim]
     g = vg[:, h_dim:]
-    sig = jax.nn.sigmoid(g.astype(f32)).astype(dt)  # see fwd kernel note
+    # tanh form matches the fwd kernel's recompute bit-for-bit (see there)
+    sig = (0.5 * jnp.tanh(0.5 * g.astype(f32)) + 0.5).astype(dt)
     sil = g * sig
     spre_f = (v * sil).astype(f32)
-    n = jax.lax.rsqrt(jnp.mean(spre_f * spre_f, axis=-1, keepdims=True) + 1e-6)
+    n = _rms_inv(spre_f)
     hn = (spre_f * n).astype(dt)
 
     o = jnp.dot(hn, wout[:, :], preferred_element_type=f32)
     o += bout[0, :].astype(f32)
-    n2 = jax.lax.rsqrt(jnp.mean(o * o, axis=-1, keepdims=True) + 1e-6)
+    n2 = _rms_inv(o)
     on = o * n2                                     # normalized out (fp32)
 
     # ---- backward chain on the E region
     go_e = gos[_HALO - r : _HALO - r + E, :].astype(f32)
     dh2 = go_e * (1 + gt[0, 0, :].astype(f32))         # grad at g2*normed out
     don = dh2 * g2[0, :].astype(f32)
-    do = n2 * don - (n2 * n2 * n2) * o * jnp.mean(don * o, axis=-1, keepdims=True)
+    do = n2 * don - (n2 * n2 * n2) * o * _row_mean_mxu(don, o)
 
     dhn = jax.lax.dot_general(
         do.astype(dt), wout[:, :], (((1,), (1,)), ((), ())),
         preferred_element_type=f32,
     )
-    dspre = n * dhn - (n * n * n) * spre_f * jnp.mean(
-        dhn * spre_f, axis=-1, keepdims=True
-    )
+    dspre = n * dhn - (n * n * n) * spre_f * _row_mean_mxu(dhn, spre_f)
     dv = dspre * sil.astype(f32)
     dg = dspre * v.astype(f32) * (sig * (1.0 + g * (1.0 - sig))).astype(f32)
     dvg = jnp.concatenate([dv, dg], axis=-1).astype(dt)
@@ -260,9 +300,7 @@ def _bwd_kernel(
     dsh_ref[0, 0, :] += jnp.sum(dh1, axis=0)
     dg1_ref[0, :] += jnp.sum(dh1 * one_sc_f * xn_c, axis=0)
     dxn = dh1 * g1f * one_sc_f
-    dx_branch = n1_c * dxn - (n1_c * n1_c * n1_c) * xf_c * jnp.mean(
-        dxn * xf_c, axis=-1, keepdims=True
-    )
+    dx_branch = n1_c * dxn - (n1_c * n1_c * n1_c) * xf_c * _row_mean_mxu(dxn, xf_c)
 
     core_e = slice(r, r + tile)                     # core rows in E indexing
     go_c = gos[_HALO : _HALO + tile, :].astype(f32)

@@ -66,9 +66,11 @@ class TestSyntheticMapsets:
         onsets = build_library(tmp_path / "Songs", 2, seconds=20.0, seed=3)
         dirs = sorted((tmp_path / "Songs").iterdir())
         assert len(dirs) == 2
+        from osu_dreamer_tpu.data.synth import DIFFS_PER_MAPSET
+
         for d in dirs:
             maps = sorted(d.glob("*.osu"))
-            assert len(maps) == 2
+            assert len(maps) == DIFFS_PER_MAPSET
             for f in maps:
                 bm = Beatmap(f.read_text())
                 assert len(bm.hit_objects) > 8
