@@ -446,10 +446,15 @@ def main() -> None:
         )
         precs.append(p); recs.append(r); f1s.append(f1)
         # label-adherence evidence at the other guidance scales (same
-        # artifact, same song, same seed — only the guidance varies)
+        # artifact, same song, same seed — only the guidance varies);
+        # best-effort: a sweep failure must not cost the run's metrics
         for g in sweep_scores:
-            s_g, _, _ = predict_and_score(wav, k, g, texts[0], true_onsets)
-            sweep_scores[g].append(s_g)
+            try:
+                s_g, _, _ = predict_and_score(wav, k, g, texts[0], true_onsets)
+                sweep_scores[g].append(s_g)
+            except Exception as e:  # noqa: BLE001
+                print(f"[quality] sweep g={g} holdout {k} failed: {e}",
+                      file=sys.stderr)
 
     metrics.update(
         onset_precision=float(np.mean(precs)),
