@@ -610,6 +610,23 @@ def main() -> None:
                 result[f"{stage}_train_mfu"] = ts[stage]["mfu"]
                 log(f"{stage} train step: {ts[stage]['ms_per_step']} ms, "
                     f"MFU {ts[stage]['mfu']}")
+        # the style step's naive ms/step is ~93% host dispatch through the
+        # tunneled relay; carry the slope-timed device floor (VERDICT r4
+        # item 6, benchmarks/style_floor.json) so the artifact tells the
+        # real story
+        from pathlib import Path
+
+        floor_path = Path(__file__).parent / "benchmarks" / "style_floor.json"
+        if floor_path.exists():
+            fl = json.loads(floor_path.read_text())
+            result["style_step_device_us_slope"] = fl["slope_us_per_step"]
+            result["style_step_floor_note"] = (
+                f"slope-timed device time {fl['slope_us_per_step']} us/step "
+                f"({fl['hlo_fusion_count']} fusions ~ "
+                f"{fl['slope_us_per_step'] / max(fl['hlo_fusion_count'], 1):.2f}"
+                f" us/launch, flop floor {fl['flop_floor_us']} us): "
+                "op-count-bound, the naive ms/step is dispatch-dominated"
+            )
 
     if errors:
         result["phase_errors"] = errors
