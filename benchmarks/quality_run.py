@@ -224,7 +224,14 @@ def main() -> None:
     ap.add_argument("--outdir", type=Path, default=Path("/tmp/quality_run"))
     ap.add_argument("--epochs-latent", type=int, default=30)
     ap.add_argument("--epochs-denoiser", type=int, default=60)
-    ap.add_argument("--epochs-style", type=int, default=150)
+    # NOTE (r5): the style stage needs TOTAL STEPS, not epochs — its dataset
+    # is one (s, labels) pair per map, so a 256-batch on a ~340-map corpus is
+    # ~1 step/epoch and 300 epochs = 300 steps, which leaves the prior
+    # collapsed to near-unconditional samples (measured: decoded-ar spread
+    # 0.9 over 64 samples, nn_ratio 7.5, energy_dist 0.94). At ~2400 steps
+    # the same prior reaches energy_dist 0.33. Size batch*epochs to >=2000
+    # steps.
+    ap.add_argument("--epochs-style", type=int, default=1500)
     ap.add_argument("--sample-steps", type=int, default=32)
     ap.add_argument("--latent-batch", type=int, default=32)
     ap.add_argument("--denoiser-batch", type=int, default=32)

@@ -44,7 +44,14 @@ LOSS_COMPONENTS = (
 # np, NOT jnp: a module-level device array would initialize the JAX backend
 # at import time, which breaks jax.distributed.initialize for multi-host
 # fits (it must run before any device use); traced code converts it lazily
-LOSS_WEIGHTS = np.array([1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2], np.float32)
+# hit channels x7, cursor pos/vel/acc, label. The label weight is raised
+# from the reference's 2 (ref latent/train.py:21-33): with EMA-normalized
+# components a weight-2 label term leaves s too label-poor for the
+# downstream style prior — measured on the r5 synthetic corpus, real maps
+# with ar>9 decode from s to ar 8.5 and the predictor's global ar range
+# compresses to [7.6, 9.2], putting a ~1.0 floor under end-to-end ar_err
+# at the requested 9.5 no matter how good the prior is (ROADMAP r5).
+LOSS_WEIGHTS = np.array([1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 6], np.float32)
 
 
 @dataclass
